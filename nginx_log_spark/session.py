@@ -1,0 +1,56 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local mode is the test harness; the config is written for a 1000-executor
+cluster (AQE, skew-join handling, pruned scans) and degrades gracefully to
+``local[N]``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app: str = "nginx_log_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    Parameters are env-overridable so bench.py can run the identical job at
+    two parallelism levels (``SPARK_GRAFT_CPUS``) for the scaling-efficiency
+    evidence required by BASELINE.md.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    # local[N] → one JVM; match shuffle width to cores. On a real cluster this
+    # would be ~2-3x total cores and AQE coalesces the rest.
+    if shuffle_partitions is None:
+        try:
+            n = int(master.split("[")[1].rstrip("]*")) if "[" in master else 32
+        except ValueError:
+            n = 32
+        shuffle_partitions = max(n, 8)
+
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
