@@ -1,0 +1,64 @@
+"""CLI with the reference's UX: analyze a log and print the report.
+
+    python -m nginx_log_spark.cli access.log          # raw nginx text log
+    python -m nginx_log_spark.cli sequences.parquet   # tokenized table
+    cat access.log | python -m nginx_log_spark.cli -  # stdin (like the C tool)
+
+Prints the reference-ordered report (totals, top-100 tables, bad-code
+sections) — the Spark analogue of c/main.c:485-523.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import tempfile
+
+from pyspark.sql import functions as F
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="nginx_log_spark")
+    ap.add_argument("path", help="raw log file, sequences parquet dir/file, or - for stdin")
+    ap.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
+    ap.add_argument("--top", type=int, default=100)
+    args = ap.parse_args(argv)
+
+    from nginx_log_spark.parse import parse_lines, parse_sequences
+    from nginx_log_spark.reports.render import render_full_report
+    from nginx_log_spark.session import get_spark
+
+    spark = get_spark(app="nginx_log_spark-cli", master=args.master)
+    path = args.path
+    tmp = None
+    if path == "-":
+        tmp = tempfile.NamedTemporaryFile("w", suffix=".log", delete=False)
+        tmp.write(sys.stdin.read())
+        tmp.close()
+        path = tmp.name
+
+    if path.endswith(".parquet") or _is_parquet_dir(path):
+        parsed = parse_sequences(spark.read.parquet(path))
+    else:
+        parsed = parse_lines(spark.read.text(path).withColumnRenamed("value", "line"))
+
+    # stderr echo of rejected lines, c/main.c:480-483 (doc_id for token input)
+    echo_col = "line" if "line" in parsed.columns else "doc_id"
+    for r in parsed.filter(~F.col("valid")).select(echo_col).collect():
+        print(r[0], file=sys.stderr)
+
+    print(render_full_report(parsed.filter(F.col("valid")), k=args.top))
+    spark.stop()
+    return 0
+
+
+def _is_parquet_dir(path: str) -> bool:
+    import os
+
+    return os.path.isdir(path) and any(
+        n.endswith(".parquet") or n == "_SUCCESS" for n in os.listdir(path)
+    )
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,176 @@
+"""The reference's aggregate reports as lazy DataFrame functions.
+
+Each mirrors one hash-table aggregate of the reference's single pass
+(c/main.c:460-477) plus its report-time sort/top-K (c/main.c:246-360).
+All take the PARSED DataFrame (output of ``parse_sequences``/``parse_lines``,
+already filtered to ``valid``) and return unexecuted DataFrames, so callers
+can fuse them off one cached parsed intermediate — the Spark analogue of the
+reference computing 10 aggregates in one scan.
+
+Scale notes (100 TB):
+- every report is groupBy(low-cardinality key) -> partial+final hash agg:
+  one shuffle of ~10^3-10^5 aggregated rows, never of raw rows;
+- top-K is orderBy+limit over the AGGREGATED rows => Spark plans
+  TakeOrderedAndProject (a bounded heap per partition + driver merge —
+  the same algorithm as the reference's Nim/C++ top_k, main.nim:157-169);
+- percentages use a broadcast 1-row totals join, not a window over a
+  single partition;
+- tie order: the reference's qsort is unstable (c/hash.c:173-200); we fix
+  (cnt desc, key asc) as the canonical deterministic order (SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+TOP_K = 100  # c/main.c:252
+
+# key column per report (c/main.c:499-513 print order)
+REPORT_KEYS = {
+    "top_ips": "remote_addr",
+    "top_users": "remote_user",
+    "top_xff": "http_x_forwarded_for",
+    "top_requests": "request",
+    "top_uas": "http_user_agent",
+    "top_referers": "http_referer",
+    "top_times": "time_local",
+    "status_counts": "status",
+}
+
+
+def totals(parsed: DataFrame) -> DataFrame:
+    """Header totals: accepted lines, bytes, distinct IPs (c/main.c:487-494)."""
+    return parsed.agg(
+        F.count(F.lit(1)).alias("total_lines"),
+        F.sum("body_bytes_sent").alias("total_bytes_sent"),
+        F.countDistinct("remote_addr").alias("unique_ips"),
+    )
+
+
+def _with_pct(agg: DataFrame, num_col: str, denom: DataFrame, denom_col: str) -> DataFrame:
+    """pct = num/denom*100 via a broadcast 1-row join (no single-partition window)."""
+    return agg.crossJoin(F.broadcast(denom)).withColumn(
+        "pct", F.round(F.col(num_col) / F.col(denom_col) * 100.0, 2)
+    )
+
+
+def top_counts(parsed: DataFrame, key: str, k: int = TOP_K) -> DataFrame:
+    """groupBy(key).count() -> top-K by (cnt desc, key asc) + pct of total.
+
+    The reference: incr(table, key, 1) per line (c/main.c:460-467), then
+    sort desc + truncate at 100 with per-row percentage (c/main.c:246-278).
+    """
+    agg = parsed.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = parsed.agg(F.count(F.lit(1)).alias("_tot"))
+    return (
+        _with_pct(agg, "cnt", tot, "_tot")
+        .select(key, "cnt", "pct")
+        .orderBy(F.desc("cnt"), F.asc(key))
+        .limit(k)
+    )
+
+
+def bytes_by_request(parsed: DataFrame, k: int = TOP_K) -> DataFrame:
+    """sum(body_bytes_sent) by request line, top-K, pct of total bytes
+    (c/main.c:468 weighted incr + print_sent_long c/main.c:280-321)."""
+    agg = parsed.groupBy("request").agg(F.sum("body_bytes_sent").alias("bytes"))
+    tot = parsed.agg(F.sum("body_bytes_sent").alias("_tot"))
+    return (
+        _with_pct(agg, "bytes", tot, "_tot")
+        .select("request", "bytes", "pct")
+        .orderBy(F.desc("bytes"), F.asc("request"))
+        .limit(k)
+    )
+
+
+def bad_code_breakdown(parsed: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Per-bad-status top-K requests (c/main.c:469-477 nested tables +
+    print_code_long c/main.c:323-360).
+
+    One groupBy(status, request) replaces the reference's 999 sub-tables;
+    the per-section top-K is the one genuinely windowed operator. Output is
+    ordered (status asc, cnt desc, request asc) like the section loop at
+    c/main.c:517-523.
+    """
+    agg = (
+        parsed.filter(F.col("status") != "200")
+        .groupBy("status", "request")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sec = W.partitionBy("status")
+    tot = parsed.agg(F.count(F.lit(1)).alias("_tot"))
+    ranked = (
+        agg.withColumn("section_total", F.sum("cnt").over(sec))
+        .withColumn(
+            "rn",
+            F.row_number().over(sec.orderBy(F.desc("cnt"), F.asc("request"))),
+        )
+        .filter(F.col("rn") <= k)
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "status",
+            "request",
+            "cnt",
+            "section_total",
+            F.round(F.col("cnt") / F.col("section_total") * 100.0, 2).alias("pct_of_section"),
+            F.round(F.col("section_total") / F.col("_tot") * 100.0, 2).alias("section_pct_of_total"),
+        )
+        .orderBy(F.asc("status"), F.desc("cnt"), F.asc("request"))
+    )
+
+
+def bad_code_sections(parsed: DataFrame) -> DataFrame:
+    """Section headers: per bad code, hits + pct of all lines (c/main.c:332)."""
+    agg = (
+        parsed.filter(F.col("status") != "200")
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    tot = parsed.agg(F.count(F.lit(1)).alias("_tot"))
+    return (
+        _with_pct(agg, "hits", tot, "_tot")
+        .select("status", "hits", "pct")
+        .orderBy(F.asc("status"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# time: the reference groups the RAW time_local string (second granularity,
+# c/main.c:462); the hourly rollup is the north-star addition.
+# ---------------------------------------------------------------------------
+
+_TIME_FMT = "dd/MMM/yyyy:HH:mm:ss Z"
+
+
+def time_local_to_ts(col):
+    """'10/Oct/2000:13:55:36 +0000' -> timestamp (null if unparseable)."""
+    return F.to_timestamp(col, _TIME_FMT)
+
+
+def hourly_traffic(parsed: DataFrame) -> DataFrame:
+    """Requests + bytes per hour bucket (north-star hourly report)."""
+    return (
+        parsed.withColumn("ts", time_local_to_ts(F.col("time_local")))
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("hits"),
+            F.sum("body_bytes_sent").alias("bytes"),
+        )
+        .orderBy("hour")
+    )
+
+
+def all_reports(parsed: DataFrame, k: int = TOP_K) -> dict[str, DataFrame]:
+    """The full report set off one (cached) parsed DataFrame."""
+    out = {"totals": totals(parsed)}
+    for name, key in REPORT_KEYS.items():
+        out[name] = top_counts(parsed, key, k)
+    out["bytes_by_request"] = bytes_by_request(parsed, k)
+    out["bad_code_sections"] = bad_code_sections(parsed)
+    out["bad_code_breakdown"] = bad_code_breakdown(parsed, k)
+    out["hourly_traffic"] = hourly_traffic(parsed)
+    return out

@@ -1,0 +1,60 @@
+"""Fan-out routing + token-equality invariant + salted agg (SURVEY.md §5.3)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from nginx_log_spark.datagen import loggen
+from nginx_log_spark.parse import parse_sequences
+from nginx_log_spark.route import fan_out_write, salted_count, with_status_class
+
+N = 3000
+
+
+def test_status_class(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({"status": ["200", "301", "404", "502", None]}))
+    got = [r["status_class"] for r in with_status_class(df).collect()]
+    assert got == ["2xx", "3xx", "4xx", "5xx", "reject"]
+
+
+def test_fan_out_preserves_tokens_exactly(spark, tmp_path):
+    seq = loggen.sequences_df(spark, N, partitions=4).cache()
+    parsed = parse_sequences(seq)
+    sinks = fan_out_write(parsed, str(tmp_path))
+    routed = spark.read.parquet(sinks["routed"])
+    rejects = spark.read.parquet(sinks["rejects"])
+
+    # no row lost, none duplicated
+    assert routed.count() + rejects.count() == N
+    assert routed.select("doc_id").distinct().count() == routed.count()
+
+    # BASELINE.json per-row invariant: token arrays byte-equal, join by doc_id
+    inp = {r["doc_id"]: r["tokens"] for r in seq.select("doc_id", "tokens").collect()}
+    for r in routed.select("doc_id", "tokens").collect():
+        assert np.array_equal(r["tokens"], inp[r["doc_id"]]), r["doc_id"]
+    for r in rejects.select("doc_id", "tokens").collect():
+        assert np.array_equal(r["tokens"], inp[r["doc_id"]]), r["doc_id"]
+
+    # routing key correctness: every 4xx row parses to a 4-prefixed status
+    for r in routed.select("status_class", "status").distinct().collect():
+        assert r["status_class"] == r["status"][0] + "xx"
+    seq.unpersist()
+
+
+def test_rejects_match_oracle(spark, tmp_path):
+    g = loggen.golden_pandas(N)
+    seq = loggen.sequences_df(spark, N, partitions=4)
+    sinks = fan_out_write(parse_sequences(seq), str(tmp_path))
+    rej_ids = {r["doc_id"] for r in spark.read.parquet(sinks["rejects"]).select("doc_id").collect()}
+    assert rej_ids == set(g[~g.valid].doc_id)
+
+
+def test_salted_count_equals_plain(spark):
+    seq = loggen.sequences_df(spark, N, partitions=4)
+    parsed = parse_sequences(seq).filter(F.col("valid"))
+    plain = {r[0]: r[1] for r in parsed.groupBy("remote_addr").count().collect()}
+    salted = {r[0]: r[1] for r in salted_count(parsed, "remote_addr", 8).collect()}
+    assert plain == salted
