@@ -1,0 +1,19 @@
+from nginx_log_spark.functions.dedup import (  # noqa: F401
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash16,
+)
+from nginx_log_spark.functions.similarity import (  # noqa: F401
+    cosine_topk,
+    embedding_neardup_pairs,
+    lsh_ann_topk,
+)
+from nginx_log_spark.functions.textstats import (  # noqa: F401
+    doc_fingerprint,
+    lang_id_col,
+    quality_columns,
+    token_count_cols,
+    winnow_fingerprints,
+)

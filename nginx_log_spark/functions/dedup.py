@@ -1,0 +1,167 @@
+"""Deduplication operators for training-data pipelines.
+
+Five tiers, all shuffle-architected for 10^9+ documents:
+
+- exact:      groupBy(md5(text)) — the shuffle key is a uniform digest, so
+              no skew regardless of content distribution.
+- minhash+LSH: k-shingles -> per-permutation min of md5(shingle||salt) ->
+              band keys -> candidate pairs via equi-join on band. Only
+              bucket-mates ever meet; no O(n^2) compare.
+- simhash:    16-bit sign-sum sketch; hamming-close docs collide.
+- n-gram Jaccard: shingle explode + pair join, exact similarity on the
+              LSH candidates (or small sets).
+- embedding near-dup lives in similarity.py (cosine).
+
+md5 is used as the hash family everywhere (deterministic, collision-safe
+for dedup purposes, and available verbatim in DuckDB for oracle parity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _norm(text: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative per exact (normalized) text.
+
+    Shuffle: one groupBy on md5(text) — uniform 128-bit keys, skew-free.
+    Returns (digest, keep_id, n_dupes).
+    """
+    return (
+        df.select(F.md5(_norm(F.col(text_col))).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dupes"))
+    )
+
+
+def shingles_expr(text_col: str, k: int) -> Column:
+    """Distinct character k-shingles of the normalized text (native SQL)."""
+    norm = f"regexp_replace(lower(trim({text_col})), '\\\\s+', ' ')"
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length({norm}) - {k} + 1, 1)), "
+        f"i -> substring({norm}, i, {k})))"
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id, minhash_0..n-1): per 'permutation' i, min over shingles of
+    md5(shingle || '#i') — md5 with distinct salts approximates independent
+    uniform permutations; the min is a valid MinHash. Pure JVM, no shuffle."""
+    sh = shingles_expr(text_col, shingle_k)
+    out = df.select(F.col(id_col), sh.alias("_sh"))
+
+    # NB: one-arg lambdas only — pyspark dispatches on lambda arity, so a
+    # captured `i=i` default would become the array-index lambda variable.
+    def salted(i: int):
+        return lambda s: F.md5(F.concat(s, F.lit(f"#{i}")))
+
+    for i in range(n_hashes):
+        out = out.withColumn(
+            f"minhash_{i}", F.array_min(F.transform(F.col("_sh"), salted(i)))
+        )
+    return out.drop("_sh")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", n_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """Band the signature, equi-join on (band_idx, band_key), emit a<b pairs.
+
+    The join key is a digest concat — uniform, broadcast-free, skew-free;
+    only same-bucket docs are ever paired (the whole point of LSH)."""
+    n_bands = n_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat(
+                    *[F.col(f"minhash_{b * band_size + j}") for j in range(band_size)]
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = sigs.select(F.col(id_col), F.explode(bands).alias("b")).select(
+        id_col, "b.band_idx", "b.band_key"
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash over whitespace words: bit b = sign of sum over words
+    of (bit b of md5(word) ? +1 : -1). Explode-free: conv() the first 4 hex
+    chars per word once, then 16 aggregate() passes over the small array."""
+    words = F.split(_norm(F.col(text_col)), " ")
+    hashed = F.transform(words, lambda w: F.conv(F.substring(F.md5(w), 1, 4), 16, 10).cast("long"))
+    out = df.select(F.col(id_col), hashed.alias("_h"))
+
+    def bit_sum(b: int):  # two-arg lambda only (see minhash note on arity)
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_cols = []
+    for b in range(16):
+        s = F.aggregate(F.col("_h"), F.lit(0), bit_sum(b))
+        bit_cols.append(F.when(s > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**b))
+    total = bit_cols[0]
+    for c in bit_cols[1:]:
+        total = total + c
+    return out.select(F.col(id_col), total.cast("int").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing >=1 shingle.
+
+    explode(shingles) -> self equi-join on shingle -> count common ->
+    |A∪B| = |A|+|B|-common. Scale note: feed this the LSH candidates, not
+    the raw corpus, when n is large — the shingle join is |pairs|-bounded."""
+    sh = df.select(F.col(id_col), shingles_expr(text_col, shingle_k).alias("_sh"))
+    sizes = sh.select(id_col, F.size("_sh").alias("_n"))
+    ex = sh.select(id_col, F.explode("_sh").alias("_s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_topk: brute-force exact top-k — F.aggregate/zip_with dot products,
+  fully JVM-side, planned as TakeOrderedAndProject (bounded heap). The
+  correct baseline, and at 100 TB still the right *verifier* for ANN.
+- lsh_ann_topk: random-hyperplane LSH — deterministic ±1 hyperplanes derived
+  from md5(plane, dim), bucket = sign bits. Probing only the query's bucket
+  turns a full scan into a partition-pruned scan when the table is written
+  partitioned/bucketed by the sketch.
+- embedding_neardup_pairs: all pairs with cosine >= threshold, bucketed by
+  the same sketch so the self-join is per-bucket, not O(n^2) global.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm_col(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm_col(a) * _norm_col(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact brute-force cosine top-k against a literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_sim(F.col(vec_col).cast("array<double>"), q)
+    return (
+        df.select(F.col(id_col), F.round(sim, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplane(plane: int, dim: int) -> float:
+    """Deterministic ±1 weight from md5 — reproducible on any engine."""
+    h = hashlib.md5(f"hp:{plane}:{dim}".encode()).digest()[0]
+    return 1.0 if h & 1 else -1.0
+
+
+def sketch_col(vec: Column, dims: int, n_planes: int = 8) -> Column:
+    """Random-hyperplane sign sketch -> int bucket in [0, 2^n_planes)."""
+    total = F.lit(0)
+    for p in range(n_planes):
+        w = F.array(*[F.lit(_hyperplane(p, d)) for d in range(dims)])
+        bit = F.when(_dot(vec.cast("array<double>"), w) > 0, F.lit(1)).otherwise(F.lit(0))
+        total = total + bit * F.lit(2**p)
+    return total.cast("int")
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 6,
+) -> DataFrame:
+    """ANN: restrict the exact cosine scan to the query's LSH bucket.
+
+    Recall < 1 by design; bench compares it against cosine_topk. At scale
+    the bucket becomes a partition filter => partition pruning at the scan.
+    """
+    dims = len(query_vec)
+    import numpy as np
+
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qbucket = 0
+    for p in range(n_planes):
+        w = np.asarray([_hyperplane(p, d) for d in range(dims)])
+        if float(qv @ w) > 0:
+            qbucket |= 1 << p
+    bucketed = df.withColumn("_bucket", sketch_col(F.col(vec_col), dims, n_planes))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_sim(F.col(vec_col).cast("array<double>"), q)
+    return (
+        bucketed.filter(F.col("_bucket") == qbucket)
+        .select(F.col(id_col), F.round(sim, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 4,
+    exact: bool = False,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine similarity.
+
+    exact=True: full a<b cross join (oracle-checkable; small inputs only).
+    exact=False: self-join per LSH bucket — near-identical vectors land in
+    the same bucket with high probability, so the join is bucket-local.
+    """
+    if exact:
+        a, b = df.alias("a"), df.alias("b")
+        join_cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        joined = a.join(b, join_cond)
+    else:
+        dims = len(df.select(vec_col).first()[0])
+        bk = df.withColumn("_bucket", sketch_col(F.col(vec_col), dims, n_planes))
+        a, b = bk.alias("a"), bk.alias("b")
+        joined = a.join(
+            b,
+            (F.col("a._bucket") == F.col("b._bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+    sim = cosine_sim(
+        F.col(f"a.{vec_col}").cast("array<double>"),
+        F.col(f"b.{vec_col}").cast("array<double>"),
+    )
+    return (
+        joined.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(sim, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,119 @@
+"""Text analysis for training-data pipelines: language-ID, quality scoring,
+token counting, fingerprinting.
+
+All pure JVM expressions (split/transform/filter/md5 — whole-stage codegen,
+no Python), so they run at scan speed over 100 TB of documents and are
+oracle-checkable against equivalent ANSI SQL in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+
+# BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_cols(text: Column) -> dict[str, Column]:
+    """whitespace token count + BPE-ish regex token count."""
+    trimmed = F.trim(text)
+    ws = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+    bpe = F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+    return {"n_ws_tokens": ws.cast("int"), "n_bpe_tokens": bpe.cast("int")}
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+_EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "this", "was", "are", "be", "at",
+]
+_PUNCT_CLASS = r"[.,;:!?'\"()\[\]{}\-]"
+
+
+def quality_columns(text: Column) -> dict[str, Column]:
+    """length / punct-ratio / stopword-ratio / mean-word-length features and
+    a composite score in [0, 1] (higher = more natural-language-like)."""
+    n_chars = F.length(text)
+    n_punct = n_chars - F.length(F.regexp_replace(text, _PUNCT_CLASS, ""))
+    words = F.split(F.trim(F.lower(text)), r"\s+")
+    n_words = F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size(words))
+    stop_arr = F.array(*[F.lit(w) for w in _EN_STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
+    mean_wlen = F.when(n_words > 0, (n_chars - n_words + 1) / n_words).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 4.0, F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio * 5.0, F.lit(1.0))) * 0.2
+    )
+    return {
+        "n_chars": n_chars.cast("int"),
+        "n_words": n_words.cast("int"),
+        "punct_ratio": F.round(punct_ratio, 6),
+        "stopword_ratio": F.round(stop_ratio, 6),
+        "mean_word_len": F.round(mean_wlen, 6),
+        "quality_score": F.round(score, 6),
+    }
+
+
+# ---------------------------------------------------------------------------
+# language ID: deterministic first-match heuristic (n-gram/stopword based)
+# ---------------------------------------------------------------------------
+
+_LANG_RULES: list[tuple[str, str]] = [
+    # CJK codepoints => zh
+    (r"[一-鿿]", "zh"),
+    # German function words
+    (r"(?i)(^|\s)(der|die|das|und|nicht|ein|ist|ich|mit|für)(\s|$)", "de"),
+    # French
+    (r"(?i)(^|\s)(le|la|les|est|et|une|dans|pour|que|vous)(\s|$)", "fr"),
+    # Spanish
+    (r"(?i)(^|\s)(el|los|las|es|y|una|para|con|por|usted)(\s|$)", "es"),
+    # English
+    (r"(?i)(^|\s)(the|and|is|of|to|in|that|it|for|with)(\s|$)", "en"),
+]
+
+
+def lang_id_col(text: Column) -> Column:
+    """First-match language heuristic -> 'zh'/'de'/'fr'/'es'/'en'/'und'."""
+    expr: Column | None = None
+    for pattern, lang in _LANG_RULES:
+        cond = text.rlike(pattern)
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    assert expr is not None
+    return expr.otherwise(F.lit("und"))
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting
+# ---------------------------------------------------------------------------
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Whole-document fingerprint: md5 of whitespace-normalized lowercase."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text", k: int = 8, keep: int = 4) -> DataFrame:
+    """Winnowing-style k-gram fingerprints: hash every k-char gram, keep the
+    ``keep`` smallest hashes per doc (a robust near-dup sketch). All native:
+    sequence -> transform(substring) -> md5 -> array_sort -> slice."""
+    # dynamic-start substring needs SQL expr (the DSL substring takes literals)
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length(regexp_replace(lower({text_col}), '\\\\s+', ' ')) - {k} + 1, 1)), "
+        f"i -> md5(substring(regexp_replace(lower({text_col}), '\\\\s+', ' '), i, {k})))"
+    )
+    return df.withColumn(
+        "fingerprints", F.slice(F.array_sort(grams), 1, keep)
+    )

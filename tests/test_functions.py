@@ -1,0 +1,210 @@
+"""Training-data operators: dedup, similarity, textstats, multimodal."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from nginx_log_spark.functions import (
+    cosine_topk,
+    doc_fingerprint,
+    embedding_neardup_pairs,
+    exact_dedup,
+    lang_id_col,
+    lsh_ann_topk,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    quality_columns,
+    simhash16,
+    token_count_cols,
+    winnow_fingerprints,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet").cache()
+    d.count()
+    yield d
+    d.unpersist()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    e.count()
+    yield e
+    e.unpersist()
+
+
+# ---------------------------------------------------------------------- dedup
+def test_exact_dedup(spark):
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4, 5], "text": ["a b", "A  b", "c", "c", "d"]}
+    )
+    df = spark.createDataFrame(pdf)
+    out = exact_dedup(df).toPandas()
+    # "a b" and "A  b" normalize equal; "c" duplicates
+    assert len(out) == 3
+    grp = {r.keep_id: r.n_dupes for r in out.itertuples()}
+    assert grp == {1: 2, 3: 2, 5: 1}
+
+
+def test_minhash_lsh_finds_near_dupes(spark, docs):
+    base = docs.limit(50)
+    # create a near-duplicate of each doc (append one word)
+    dup = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    alld = base.select("doc_id", "text").union(dup)
+    sigs = minhash_signatures(alld, n_hashes=8, shingle_k=5)
+    pairs = lsh_candidate_pairs(sigs, n_hashes=8, band_size=2).toPandas()
+    found = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    want = {(r[0], r[0] + 100000) for r in base.select("doc_id").collect()}
+    recall = len(found & want) / len(want)
+    assert recall > 0.9, f"LSH recall too low: {recall}"
+
+
+def test_simhash_close_for_near_dupes(spark, docs):
+    base = docs.limit(20).select("doc_id", "text")
+    dup = base.select((F.col("doc_id") + 100000).alias("doc_id"),
+                      F.concat(F.col("text"), F.lit(" zzz")).alias("text"))
+    sh = simhash16(base.union(dup)).toPandas().set_index("doc_id").simhash
+    dists = [bin(int(sh[i]) ^ int(sh[i + 100000])).count("1") for i in sh.index if i < 100000]
+    assert np.mean(dists) < 4  # near-dupes hamming-close on 16 bits
+
+
+def test_ngram_jaccard(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["the quick brown fox jumps", "the quick brown fox jumped", "entirely different words"],
+        }
+    )
+    out = ngram_jaccard_pairs(spark.createDataFrame(pdf), threshold=0.5).toPandas()
+    assert set(zip(out.id_a, out.id_b)) == {(1, 2)}
+    assert (out.jaccard > 0.6).all()
+
+
+# ----------------------------------------------------------------- similarity
+def test_cosine_topk_matches_numpy(spark, embs):
+    rows = embs.collect()
+    q = list(rows[0]["embedding"])
+    got = cosine_topk(embs, q, k=5).toPandas()
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    qv = np.array(q, dtype=np.float64)
+    sims = (M @ qv) / (np.linalg.norm(M, axis=1) * np.linalg.norm(qv))
+    order = sorted(zip(-np.round(sims, 6), ids))[:5]
+    exp_ids = [int(i) for _, i in order]
+    assert list(got.vec_id) == exp_ids
+    assert got.cosine.iloc[0] == pytest.approx(1.0, abs=1e-6)  # self-match
+
+
+def test_lsh_ann_subset_of_bucket(spark, embs):
+    rows = embs.limit(1).collect()
+    q = list(rows[0]["embedding"])
+    ann = lsh_ann_topk(embs, q, k=5, n_planes=4).toPandas()
+    assert len(ann) >= 1
+    assert int(ann.vec_id.iloc[0]) == int(rows[0]["vec_id"])  # finds itself
+
+
+def test_embedding_neardup_exact(spark):
+    vecs = pd.DataFrame(
+        {
+            "vec_id": [1, 2, 3],
+            "embedding": [[1.0, 0.0], [0.999, 0.01], [0.0, 1.0]],
+        }
+    )
+    df = spark.createDataFrame(vecs)
+    out = embedding_neardup_pairs(df, threshold=0.99, exact=True).toPandas()
+    assert set(zip(out.id_a, out.id_b)) == {(1, 2)}
+
+
+# ------------------------------------------------------------------ textstats
+def test_token_counts(spark):
+    df = spark.createDataFrame(pd.DataFrame({"text": ["hello world", "  a  b  c ", "", "x,y!z"]}))
+    cols = token_count_cols(F.col("text"))
+    got = df.select(cols["n_ws_tokens"].alias("ws"), cols["n_bpe_tokens"].alias("bpe")).toPandas()
+    assert list(got.ws) == [2, 3, 0, 1]
+    assert list(got.bpe) == [2, 3, 0, 5]  # x , y ! z
+
+
+def test_quality_columns(spark, docs):
+    q = quality_columns(F.col("text"))
+    out = docs.select(*[v.alias(k) for k, v in q.items()]).toPandas()
+    assert ((out.quality_score >= 0) & (out.quality_score <= 1)).all()
+    assert (out.n_words > 0).all()
+    assert ((out.punct_ratio >= 0) & (out.punct_ratio <= 1)).all()
+
+
+def test_langid_on_real_sentences(spark):
+    # NB: the synthetic documents table is English word-salad for every
+    # `lang` label, so the heuristic is tested on genuine sentences.
+    cases = {
+        "the cat sat on the mat and it was happy": "en",
+        "der Hund ist nicht glücklich und müde": "de",
+        "le chat est dans la maison pour dormir": "fr",
+        "el perro es grande y una casa para todos": "es",
+        "这是一个中文句子": "zh",
+        "xyzzy qwerty 12345": "und",
+    }
+    df = spark.createDataFrame(pd.DataFrame({"text": list(cases)}))
+    got = dict(df.select("text", lang_id_col(F.col("text")).alias("l")).collect())
+    assert got == cases
+
+
+def test_fingerprints(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["The  Quick fox", "the quick fox", "other"]})
+    )
+    fp = df.select("doc_id", doc_fingerprint(F.col("text")).alias("fp")).toPandas()
+    assert fp.fp[0] == fp.fp[1] != fp.fp[2]
+    wf = winnow_fingerprints(df).toPandas()
+    assert all(1 <= len(x) <= 4 for x in wf.fingerprints)  # short docs yield < keep
+    assert list(wf.fingerprints[0]) == list(wf.fingerprints[1])
+
+
+# ----------------------------------------------------------------- multimodal
+def test_multimodal_decode_and_features(spark):
+    from nginx_log_spark.functions.multimodal import (
+        decode_media,
+        extract_features,
+        frame_sample_plan,
+        synth_media_df,
+    )
+
+    media = synth_media_df(spark, 30).cache()
+    dec = decode_media(media, fake=True).toPandas()
+    assert len(dec) == 30
+    img = dec[dec.media_type == "image"]
+    assert img.width.notna().all() and img.height.notna().all()
+    aud = dec[dec.media_type == "audio"]
+    assert aud.width.isna().all()
+    # deterministic: same payload -> same checksum on rerun
+    dec2 = decode_media(media, fake=True).toPandas()
+    assert (dec.sort_values("media_id").checksum.to_numpy() == dec2.sort_values("media_id").checksum.to_numpy()).all()
+
+    feats = extract_features(media).toPandas()
+    assert all(len(f) == 16 for f in feats.feature)
+    assert all(abs(sum(f) - 1.0) < 1e-3 for f in feats.feature)
+
+    frames = frame_sample_plan(
+        decode_media(media, fake=True).join(media.select("media_id", "payload"), "media_id"),
+        every_n=50,
+    ).toPandas()
+    assert (frames.frame_idx % 50 == 0).all()
+    media.unpersist()
+
+
+def test_multimodal_real_decode_raises(spark):
+    from nginx_log_spark.functions.multimodal import _decode_bytes
+
+    with pytest.raises(NotImplementedError):
+        _decode_bytes(b"xx", "image", fake=False)
