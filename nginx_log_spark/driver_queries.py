@@ -1,0 +1,667 @@
+"""Driver-contract query registry: every SURVEY.md §2 operator as a
+(spark_fn, duckdb_oracle_sql) pair over the driver's parquet tables.
+
+Spark side runs the REAL engine operators (tokenize -> parse_sequences ->
+reports/enrich/route/dedup/similarity); the oracle recomputes the same
+answer in plain DuckDB SQL from first principles (see parity.py for the
+dual-dialect log rendering). Column names/aliases match exactly — the
+driver's compare sorts columns by name and value-hashes.
+
+FP discipline: cross-engine floats only ever come from (a) identical
+double expressions evaluated on identical inputs, or (b) exact DECIMAL
+sums cast to double — never from order-dependent double accumulation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nginx_log_spark import parity
+from nginx_log_spark.enrich import default_cidr_table, enrich_geoip, enrich_ua, flatten_cidrs
+from nginx_log_spark.functions import (
+    cosine_topk,
+    embedding_neardup_pairs,
+    exact_dedup,
+    lang_id_col,
+    lsh_ann_topk,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    quality_columns,
+    simhash16,
+    token_count_cols,
+)
+from nginx_log_spark.parse.parser import decode_tokens
+from nginx_log_spark.reports import reports as R
+from nginx_log_spark.route import salted_count, with_status_class
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+def _valid_logs(spark: SparkSession, sf: str) -> DataFrame:
+    return parity.parsed_log_df(spark, sf).filter(F.col("valid"))
+
+
+_CTE = parity.duck_base_cte()
+_V = f"{_CTE}, v AS (SELECT * FROM logs WHERE valid)"
+
+
+# ===========================================================================
+# log pipeline: parse / reject / aggregate / top-K  (SURVEY.md §2.3-2.6)
+# ===========================================================================
+
+@_register(
+    "log_parse_fields",
+    f"""{_V} SELECT doc_id, remote_addr, remote_user, time_local, request,
+        status, body_bytes_sent, http_referer, http_user_agent,
+        http_x_forwarded_for FROM v""",
+)
+def log_parse_fields(spark, sf):
+    """Full 9-field parse of tokenized lines (c/main.c:413-455 parity)."""
+    return _valid_logs(spark, sf).select(
+        "doc_id", "remote_addr", "remote_user", "time_local", "request",
+        "status", "body_bytes_sent", "http_referer", "http_user_agent",
+        "http_x_forwarded_for",
+    )
+
+
+@_register(
+    "log_rejects",
+    f"{_CTE} SELECT doc_id FROM logs WHERE NOT valid",
+)
+def log_rejects(spark, sf):
+    """Reject routing (stderr analogue, c/main.c:480-483)."""
+    return parity.parsed_log_df(spark, sf).filter(~F.col("valid")).select("doc_id")
+
+
+def _top_oracle(key: str, k: int = 100) -> str:
+    return f"""{_V}, agg AS (SELECT {key}, COUNT(*) AS cnt FROM v GROUP BY {key}),
+        tot AS (SELECT COUNT(*) AS c FROM v)
+        SELECT {key}, CAST(cnt AS BIGINT) AS cnt,
+               round((cnt / c) * 100.0, 2) AS pct
+        FROM agg, tot ORDER BY cnt DESC, {key} LIMIT {k}"""
+
+
+@_register("log_top_ips", _top_oracle("remote_addr"))
+def log_top_ips(spark, sf):
+    """来访IP统计 (c/main.c:499): top-100 IPs by hits + pct."""
+    return R.top_counts(_valid_logs(spark, sf), "remote_addr", 100)
+
+
+@_register("log_top_requests", _top_oracle("request"))
+def log_top_requests(spark, sf):
+    return R.top_counts(_valid_logs(spark, sf), "request", 100)
+
+
+@_register("log_top_users", _top_oracle("remote_user"))
+def log_top_users(spark, sf):
+    return R.top_counts(_valid_logs(spark, sf), "remote_user", 100)
+
+
+@_register("log_top_referers", _top_oracle("http_referer"))
+def log_top_referers(spark, sf):
+    return R.top_counts(_valid_logs(spark, sf), "http_referer", 100)
+
+
+@_register("log_top_uas", _top_oracle("http_user_agent"))
+def log_top_uas(spark, sf):
+    return R.top_counts(_valid_logs(spark, sf), "http_user_agent", 100)
+
+
+@_register("log_top_xff", _top_oracle("http_x_forwarded_for"))
+def log_top_xff(spark, sf):
+    return R.top_counts(_valid_logs(spark, sf), "http_x_forwarded_for", 100)
+
+
+@_register("log_status_counts", _top_oracle("status"))
+def log_status_counts(spark, sf):
+    return R.top_counts(_valid_logs(spark, sf), "status", 100)
+
+
+@_register("log_time_hist", _top_oracle("time_local"))
+def log_time_hist(spark, sf):
+    """Per-second verbatim time histogram (c/main.c:462 groups raw string)."""
+    return R.top_counts(_valid_logs(spark, sf), "time_local", 100)
+
+
+@_register(
+    "log_totals",
+    f"""{_V} SELECT COUNT(*) AS total_lines,
+        CAST(SUM(body_bytes_sent) AS BIGINT) AS total_bytes_sent,
+        COUNT(DISTINCT remote_addr) AS unique_ips FROM v""",
+)
+def log_totals(spark, sf):
+    return R.totals(_valid_logs(spark, sf))
+
+
+@_register(
+    "log_bytes_by_request",
+    f"""{_V}, agg AS (SELECT request, CAST(SUM(body_bytes_sent) AS BIGINT) AS bytes
+        FROM v GROUP BY request),
+        tot AS (SELECT CAST(SUM(body_bytes_sent) AS BIGINT) AS c FROM v)
+        SELECT request, bytes, round((bytes / c) * 100.0, 2) AS pct
+        FROM agg, tot ORDER BY bytes DESC, request LIMIT 100""",
+)
+def log_bytes_by_request(spark, sf):
+    """HTTP流量占比统计: weighted agg (c/main.c:468)."""
+    return R.bytes_by_request(_valid_logs(spark, sf), 100)
+
+
+@_register(
+    "log_bad_code_breakdown",
+    f"""{_V}, b AS (SELECT status, request, COUNT(*) AS cnt FROM v
+            WHERE status <> '200' GROUP BY status, request),
+        t AS (SELECT COUNT(*) AS c FROM v),
+        w AS (SELECT status, request, cnt,
+                  CAST(SUM(cnt) OVER (PARTITION BY status) AS BIGINT) AS section_total,
+                  ROW_NUMBER() OVER (PARTITION BY status ORDER BY cnt DESC, request) AS rn
+              FROM b)
+        SELECT status, request, CAST(cnt AS BIGINT) AS cnt, section_total,
+               round((cnt / section_total) * 100.0, 2) AS pct_of_section,
+               round((section_total / c) * 100.0, 2) AS section_pct_of_total
+        FROM w, t WHERE rn <= 100""",
+)
+def log_bad_code_breakdown(spark, sf):
+    """Per-bad-code request breakdown (c/main.c:469-477, 323-360)."""
+    return R.bad_code_breakdown(_valid_logs(spark, sf), 100)
+
+
+@_register(
+    "log_hourly_traffic",
+    f"""{_V} SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+        COUNT(*) AS hits, CAST(SUM(body_bytes_sent) AS BIGINT) AS bytes
+        FROM v JOIN events ON 'e' || CAST(event_id AS VARCHAR) = v.doc_id
+        GROUP BY 1""",
+)
+def log_hourly_traffic(spark, sf):
+    """North-star hourly rollup — engine side parses time_local back to ts."""
+    h = R.hourly_traffic(_valid_logs(spark, sf))
+    return h.select(
+        F.date_format("hour", "yyyy-MM-dd HH").alias("hour"), "hits", "bytes"
+    )
+
+
+@_register(
+    "log_route_counts",
+    f"""{_V} SELECT status_class, source, COUNT(*) AS cnt
+        FROM v GROUP BY status_class, source""",
+)
+def log_route_counts(spark, sf):
+    """Fan-out routing keys: per-sink row counts (north-rule parity)."""
+    return (
+        with_status_class(_valid_logs(spark, sf))
+        .groupBy("status_class", "source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@_register(
+    "log_token_integrity",
+    f"""{_CTE} SELECT doc_id, CAST(length(line) AS INT) AS n_tok,
+        md5(line) AS line_md5 FROM logs""",
+)
+def log_token_integrity(spark, sf):
+    """Per-row invariant: tokens ride through parse/route byte-identically
+    (BASELINE.json): md5 of the decoded token bytes == md5 of the line."""
+    parsed = parity.parsed_log_df(spark, sf)
+    return parsed.select(
+        "doc_id", "n_tok", F.md5(decode_tokens(F.col("tokens"))).alias("line_md5")
+    )
+
+
+@_register("log_salted_topk", _top_oracle("remote_addr", 20))
+def log_salted_topk(spark, sf):
+    """Skew-safe two-phase salted aggregation == plain aggregation."""
+    v = _valid_logs(spark, sf)
+    cnts = salted_count(v, "remote_addr", salt_buckets=8)
+    tot = v.agg(F.count(F.lit(1)).alias("_tot"))
+    return (
+        cnts.crossJoin(F.broadcast(tot))
+        .select(
+            "remote_addr",
+            "cnt",
+            F.round(F.col("cnt") / F.col("_tot") * 100.0, 2).alias("pct"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("remote_addr"))
+        .limit(20)
+    )
+
+
+# ===========================================================================
+# enrichment joins (SURVEY.md §2.7, north-star)
+# ===========================================================================
+
+
+def _geo_values_sql() -> str:
+    flat = flatten_cidrs(default_cidr_table())
+    rows = ", ".join(
+        f"({r['start_ip']}, {r['end_ip']}, '{r['country']}')" for r in flat
+    )
+    return f"(VALUES {rows}) AS geo(start_ip, end_ip, country)"
+
+
+@_register(
+    "log_enrich_geoip",
+    f"""{_V} SELECT geo.country AS country, COUNT(*) AS cnt
+        FROM v LEFT JOIN {_geo_values_sql()}
+          ON v.ip_int >= geo.start_ip AND v.ip_int <= geo.end_ip
+        GROUP BY geo.country""",
+)
+def log_enrich_geoip(spark, sf):
+    """Longest-prefix CIDR broadcast join -> per-country hit counts."""
+    enriched = enrich_geoip(_valid_logs(spark, sf), default_cidr_table(), spark=spark)
+    return enriched.groupBy("country").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@_register(
+    "log_enrich_ua_class",
+    f"""{_V} SELECT ua_class_expected AS ua_class, COUNT(*) AS cnt
+        FROM v GROUP BY ua_class_expected""",
+)
+def log_enrich_ua_class(spark, sf):
+    """Regex UA classifier vs the ground-truth class of each pool UA."""
+    return enrich_ua(_valid_logs(spark, sf)).groupBy("ua_class").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+# ===========================================================================
+# general OLAP operators on the TPC-H-ish tables (sorts/joins/windows/aggs)
+# ===========================================================================
+
+_Q1 = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@_register("tpch_q1_pricing_summary", _Q1)
+def tpch_q1(spark, sf):
+    """TPC-H Q1 shape: multi-agg hash aggregation (exact DECIMAL sums)."""
+    spark.read.parquet(f"{sf}/lineitem.parquet").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q1)
+
+
+_TOPCUST = """
+SELECT c.c_name AS c_name,
+  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_name ORDER BY revenue DESC, c_name LIMIT 10
+"""
+
+
+@_register("top_customers_by_revenue", _TOPCUST)
+def top_customers(spark, sf):
+    """Join + agg + deterministic top-K (broadcast dim join)."""
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_name"))
+        .limit(10)
+    )
+
+
+_PARTREV = """
+SELECT p.p_type AS p_type,
+  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_type
+"""
+
+
+@_register("part_type_revenue", _PARTREV)
+def part_type_revenue(spark, sf):
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf}/part.parquet")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_SESS = """
+WITH g AS (
+  SELECT user_id, ts,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+         OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+@_register("events_sessionization", _SESS)
+def events_sessionization(spark, sf):
+    """Session boundaries via lag window (30-min gap), exact integer time."""
+    from pyspark.sql import Window as W
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet naive ts loads as TIMESTAMP_NTZ; unix_micros needs TIMESTAMP
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    g = ev.withColumn(
+        "new_s",
+        F.when(
+            (us - F.lag(us).over(w) > 1800000000) | F.lag(us).over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    return g.groupBy("user_id").agg(
+        F.sum("new_s").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+_TOPK_PER_USER = """
+WITH r AS (
+  SELECT user_id, event_id, value,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+  FROM events
+)
+SELECT user_id, event_id, value, CAST(rn AS INT) AS rn FROM r WHERE rn <= 3
+"""
+
+
+@_register("per_user_event_topk", _TOPK_PER_USER)
+def per_user_topk(spark, sf):
+    """Grouped top-K via window (the bad-code report's engine primitive)."""
+    from pyspark.sql import Window as W
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    w = W.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "value", "rn")
+    )
+
+
+_PIVOT = """
+SELECT user_id,
+  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+  COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup
+FROM events GROUP BY user_id
+"""
+
+
+@_register("events_type_pivot", _PIVOT)
+def events_pivot(spark, sf):
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    kinds = ["click", "view", "purchase", "error", "signup"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, kinds)
+    )
+
+
+# ===========================================================================
+# training-data operators: dedup / text / similarity (brief addendum)
+# ===========================================================================
+
+_DUCK_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+@_register(
+    "docs_exact_dedup",
+    f"""SELECT md5({_DUCK_NORM}) AS digest, MIN(doc_id) AS keep_id,
+        COUNT(*) AS n_dupes FROM documents GROUP BY 1""",
+)
+def docs_exact_dedup(spark, sf):
+    return exact_dedup(_docs(spark, sf))
+
+
+@_register(
+    "docs_token_count",
+    r"""SELECT doc_id,
+        CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE length(string_split_regex(trim(text), '\s+')) END AS INT) AS n_ws_tokens,
+        CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT)
+          AS n_bpe_tokens
+        FROM documents""",
+)
+def docs_token_count(spark, sf):
+    cols = token_count_cols(F.col("text"))
+    return _docs(spark, sf).select(
+        "doc_id", cols["n_ws_tokens"].alias("n_ws_tokens"), cols["n_bpe_tokens"].alias("n_bpe_tokens")
+    )
+
+
+_DUCK_STOPS = "['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','this','was','are','be','at']"
+
+_QUALITY_ORACLE = rf"""
+WITH f AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{{}}\-]', '', 'g')) AS n_punct,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE length(string_split_regex(lower(trim(text)), '\s+')) END AS n_words,
+    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        x -> list_contains({_DUCK_STOPS}, x))) AS n_stop
+  FROM documents
+)
+SELECT doc_id, CAST(n_chars AS INT) AS n_chars, CAST(n_words AS INT) AS n_words,
+  round(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END, 6) AS punct_ratio,
+  round(CASE WHEN n_words > 0 THEN n_stop / n_words ELSE 0.0 END, 6) AS stopword_ratio,
+  round(least(n_words / 100.0, 1.0) * 0.4
+      + least((CASE WHEN n_words > 0 THEN n_stop / n_words ELSE 0.0 END) * 4.0, 1.0) * 0.4
+      + (1.0 - least((CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 5.0, 1.0)) * 0.2,
+    6) AS quality_score
+FROM f
+"""
+
+
+@_register("docs_quality", _QUALITY_ORACLE)
+def docs_quality(spark, sf):
+    q = quality_columns(F.col("text"))
+    return _docs(spark, sf).select(
+        "doc_id",
+        q["n_chars"].alias("n_chars"),
+        q["n_words"].alias("n_words"),
+        q["punct_ratio"].alias("punct_ratio"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+        q["quality_score"].alias("quality_score"),
+    )
+
+
+_LANG_ORACLE = """
+SELECT doc_id,
+  CASE
+    WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+    WHEN regexp_matches(text, '(?i)(^|\\s)(der|die|das|und|nicht|ein|ist|ich|mit|für)(\\s|$)') THEN 'de'
+    WHEN regexp_matches(text, '(?i)(^|\\s)(le|la|les|est|et|une|dans|pour|que|vous)(\\s|$)') THEN 'fr'
+    WHEN regexp_matches(text, '(?i)(^|\\s)(el|los|las|es|y|una|para|con|por|usted)(\\s|$)') THEN 'es'
+    WHEN regexp_matches(text, '(?i)(^|\\s)(the|and|is|of|to|in|that|it|for|with)(\\s|$)') THEN 'en'
+    ELSE 'und' END AS lang_pred
+FROM documents
+"""
+
+
+@_register("docs_langid", _LANG_ORACLE)
+def docs_langid(spark, sf):
+    return _docs(spark, sf).select(
+        "doc_id", lang_id_col(F.col("text")).alias("lang_pred")
+    )
+
+
+@_register(
+    "docs_fingerprint",
+    f"SELECT doc_id, md5({_DUCK_NORM}) AS fp FROM documents",
+)
+def docs_fingerprint(spark, sf):
+    from nginx_log_spark.functions import doc_fingerprint
+
+    return _docs(spark, sf).select(
+        "doc_id", doc_fingerprint(F.col("text")).alias("fp")
+    )
+
+
+def _duck_minhash_cols(n_hashes: int = 8, k: int = 5) -> str:
+    sh = (
+        f"list_distinct([substr({_DUCK_NORM}, i, {k}) "
+        f"for i in range(1, greatest(length({_DUCK_NORM}) - {k} + 1, 1) + 1)])"
+    )
+    cols = ", ".join(
+        f"list_min(list_transform({sh}, s -> md5(s || '#{i}'))) AS mh{i}"
+        for i in range(n_hashes)
+    )
+    return cols
+
+
+_MINHASH_ORACLE = f"""
+WITH sig AS (SELECT doc_id, {_duck_minhash_cols()} FROM documents),
+bands AS (
+  SELECT doc_id, b.band_idx, b.band_key FROM sig,
+  LATERAL (VALUES (0, mh0 || mh1), (1, mh2 || mh3), (2, mh4 || mh5), (3, mh6 || mh7))
+    AS b(band_idx, band_key)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+@_register("docs_minhash_lsh_pairs", _MINHASH_ORACLE)
+def docs_minhash_pairs(spark, sf):
+    sigs = minhash_signatures(_docs(spark, sf), n_hashes=8, shingle_k=5)
+    return lsh_candidate_pairs(sigs, n_hashes=8, band_size=2)
+
+
+_NGRAM_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct([substr({_DUCK_NORM}, i, 5)
+    for i in range(1, greatest(length({_DUCK_NORM}) - 4, 1) + 1)]) AS s
+  FROM documents
+),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+sz AS (SELECT doc_id, len(s) AS n FROM sh),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+  round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM common JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= 0.2
+"""
+
+
+@_register("docs_ngram_jaccard", _NGRAM_ORACLE)
+def docs_ngram_jaccard(spark, sf):
+    return ngram_jaccard_pairs(_docs(spark, sf), shingle_k=5, threshold=0.2)
+
+
+@_register("docs_simhash16", None)  # bit-twiddling oracle omitted: rows-only check
+def docs_simhash16(spark, sf):
+    return simhash16(_docs(spark, sf))
+
+
+def _duck_cosine(vec_a: str, vec_b: str) -> str:
+    dot = f"list_sum([{vec_a}[i]::DOUBLE * {vec_b}[i]::DOUBLE for i in range(1, len({vec_a}) + 1)])"
+    na = f"sqrt(list_sum([{vec_a}[i]::DOUBLE * {vec_a}[i]::DOUBLE for i in range(1, len({vec_a}) + 1)]))"
+    nb = f"sqrt(list_sum([{vec_b}[i]::DOUBLE * {vec_b}[i]::DOUBLE for i in range(1, len({vec_b}) + 1)]))"
+    return f"({dot}) / (({na}) * ({nb}))"
+
+
+_COSINE_ORACLE = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round({_duck_cosine('embedding', 'qv')}, 6) AS cosine
+FROM embeddings, q
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+@_register("emb_cosine_topk", _COSINE_ORACLE)
+def emb_cosine_topk(spark, sf):
+    """Brute-force cosine top-k vs the vec_id=0 query vector."""
+    embs = _embs(spark, sf)
+    q = embs.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return cosine_topk(embs, list(q), k=10)
+
+
+_NEARDUP_ORACLE = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round({_duck_cosine('a.embedding', 'b.embedding')}, 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({_duck_cosine('a.embedding', 'b.embedding')}, 6) >= 0.9
+"""
+
+
+@_register("emb_neardup_pairs", _NEARDUP_ORACLE)
+def emb_neardup(spark, sf):
+    return embedding_neardup_pairs(_embs(spark, sf), threshold=0.9, exact=True)
+
+
+@_register("emb_lsh_ann", None)  # hyperplane sketch oracle omitted: rows-only
+def emb_lsh_ann(spark, sf):
+    embs = _embs(spark, sf)
+    q = embs.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return lsh_ann_topk(embs, list(q), k=10, n_planes=6)
+
+
+@_register("mm_decode_meta", None)  # md5-derived ints not SQL-friendly: rows-only
+def mm_decode_meta(spark, sf):
+    from nginx_log_spark.functions.multimodal import decode_media, synth_media_df
+
+    return decode_media(synth_media_df(spark, 64), fake=True)
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)

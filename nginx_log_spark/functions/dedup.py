@@ -40,11 +40,33 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingles_expr(text_col: str, k: int) -> Column:
-    """Distinct character k-shingles of the normalized text (native SQL)."""
+    """Distinct character k-shingles of the normalized text (native SQL).
+
+    NB: only reference PRE-PROJECTED columns here — an inline
+    regexp_replace inside the transform lambda would be recomputed per
+    array element (O(len^2) regex work). Use with_shingles() instead when
+    building plans."""
     norm = f"regexp_replace(lower(trim({text_col})), '\\\\s+', ' ')"
     return F.expr(
         f"array_distinct(transform(sequence(1, greatest(length({norm}) - {k} + 1, 1)), "
         f"i -> substring({norm}, i, {k})))"
+    )
+
+
+def with_shingles(df: DataFrame, text_col: str, k: int, out_col: str = "_sh") -> DataFrame:
+    """Project normalized text ONCE, then shingle it — the lambda references
+    the materialized column, so the normalization regex runs once per row,
+    not once per array element."""
+    return (
+        df.withColumn("_nrm", _norm(F.col(text_col)))
+        .withColumn(
+            out_col,
+            F.expr(
+                f"array_distinct(transform(sequence(1, greatest(length(_nrm) - {k} + 1, 1)), "
+                f"i -> substring(_nrm, i, {k})))"
+            ),
+        )
+        .drop("_nrm")
     )
 
 
@@ -58,8 +80,9 @@ def minhash_signatures(
     """(id, minhash_0..n-1): per 'permutation' i, min over shingles of
     md5(shingle || '#i') — md5 with distinct salts approximates independent
     uniform permutations; the min is a valid MinHash. Pure JVM, no shuffle."""
-    sh = shingles_expr(text_col, shingle_k)
-    out = df.select(F.col(id_col), sh.alias("_sh"))
+    out = with_shingles(df.select(id_col, text_col), text_col, shingle_k).select(
+        F.col(id_col), F.col("_sh")
+    )
 
     # NB: one-arg lambdas only — pyspark dispatches on lambda arity, so a
     # captured `i=i` default would become the array-index lambda variable.
@@ -74,12 +97,22 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str = "doc_id", n_hashes: int = 8, band_size: int = 2
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signature, equi-join on (band_idx, band_key), emit a<b pairs.
 
-    The join key is a digest concat — uniform, broadcast-free, skew-free;
-    only same-bucket docs are ever paired (the whole point of LSH)."""
+    The join key is a digest concat — uniform for dissimilar docs; only
+    same-bucket docs are ever paired (the whole point of LSH).
+
+    ``max_bucket``: drop buckets with more members than this before the
+    self-join. A bucket of size B contributes B^2 candidate pairs, so one
+    degenerate band key (boilerplate corpora, near-constant fields) turns
+    LSH into an accidental cross join at scale; oversized buckets are
+    non-discriminative by definition and standard practice is to skip them."""
     n_bands = n_hashes // band_size
     bands = F.array(
         *[
@@ -95,6 +128,14 @@ def lsh_candidate_pairs(
     exploded = sigs.select(F.col(id_col), F.explode(bands).alias("b")).select(
         id_col, "b.band_idx", "b.band_key"
     )
+    if max_bucket is not None:
+        small = (
+            exploded.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
+        exploded = exploded.join(small, ["band_idx", "band_key"], "left_semi")
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -144,7 +185,9 @@ def ngram_jaccard_pairs(
     explode(shingles) -> self equi-join on shingle -> count common ->
     |A∪B| = |A|+|B|-common. Scale note: feed this the LSH candidates, not
     the raw corpus, when n is large — the shingle join is |pairs|-bounded."""
-    sh = df.select(F.col(id_col), shingles_expr(text_col, shingle_k).alias("_sh"))
+    sh = with_shingles(df.select(id_col, text_col), text_col, shingle_k).select(
+        F.col(id_col), F.col("_sh")
+    )
     sizes = sh.select(id_col, F.size("_sh").alias("_n"))
     ex = sh.select(id_col, F.explode("_sh").alias("_s"))
     a, b = ex.alias("a"), ex.alias("b")

@@ -1,0 +1,201 @@
+"""Vectorized Arrow-native parser — the engine's hot path.
+
+Two-tier design (exactly the reference's semantics, 100x its pandas cost):
+
+- STRICT tier (C++/RE2, ``pyarrow.compute.extract_regex``): the canonical
+  combined format with single spaces. Works on BINARY arrays built
+  ZERO-COPY from the token ListArray's (offsets, uint8-cast values) — no
+  per-row Python objects anywhere. Byte-mode RE2 == the reference's
+  byte-oriented cursor parser on this shape. A line matching STRICT is
+  provably parsed identically by the C combinators (fuzz-verified in
+  tests/test_arrow_parser.py).
+- EXACT tier (Python, ~1% of rows): anything not strict — multi-space
+  separators, malformed lines, trailing junk — goes through the
+  atomic-group regex of parser.py, which is byte-parity with the C
+  combinators on ALL inputs (800k-case fuzz). Merged back via
+  ``pc.replace_with_mask``.
+
+Why RE2 can't do the whole job: RE2 reproduces backtracking *semantics*
+(leftmost-first), but C-parity requires the NON-backtracking terminator
+consumption of ``parse_item_trim_space`` (c/main.c:47-90) — expressible
+only with atomic groups, which RE2 lacks. The strict shape has no
+ambiguity, so the tiers agree on their overlap.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from pyspark.sql import DataFrame
+
+from nginx_log_spark.parse.parser import _CORE_RE, PARSED_FIELDS, parsed_schema
+
+FIELD_NAMES = [n for n, _ in PARSED_FIELDS[:9]]
+
+# canonical combined format, single-spaced; user is '-' or dash-free
+# (the reference strips leading '-' runs from the user, c/main.c:125-128,
+# so a strict match's captured user equals the C-parsed user)
+STRICT_PATTERN = (
+    r"^(?P<remote_addr>[0-9:.a-f]+) - (?P<remote_user>-|[^\- ][^ ]*)"
+    r" \[(?P<time_local>[^\]]*)\]"
+    r' "(?P<request>[^"]*)"'
+    r" (?P<status>[0-9]{3})"
+    r" (?P<body_bytes_sent>[0-9]+)"
+    r' "(?P<http_referer>[^"]*)"'
+    r' "(?P<http_user_agent>[^"]*)"'
+    r' "(?P<http_x_forwarded_for>[^"]*)"$'
+)
+
+
+def _exact_parse_line(s: str) -> tuple | None:
+    """EXACT tier: the atomic-group regex (byte-parity with c/main.c)."""
+    m = _CORE_RE.match(s)
+    if not m:
+        return None
+    g = m.groups()
+    if len(g[4]) != 3:
+        return None
+    return g
+
+
+def _tokens_to_binary(tok: pa.Array) -> pa.BinaryArray:
+    """list<int32> of byte values -> BinaryArray, zero-copy offsets."""
+    if isinstance(tok, pa.ChunkedArray):
+        tok = tok.combine_chunks()
+    offs = tok.offsets.to_numpy()  # int32, len+1 (physical)
+    vals = tok.values.to_numpy()
+    lo, hi = int(offs[0]), int(offs[-1])
+    rel = (offs - lo).astype(np.int32)
+    payload = vals[lo:hi].astype(np.uint8)
+    return pa.Array.from_buffers(
+        pa.binary(),
+        len(tok),
+        [None, pa.py_buffer(rel.tobytes()), pa.py_buffer(payload.tobytes())],
+    )
+
+
+def _parse_binary_lines(lines: pa.BinaryArray) -> dict[str, pa.Array]:
+    """BinaryArray of raw lines -> {field: Array} + 'valid' (the full
+    two-tier parse). Field arrays are utf8 (latin-1 transcoding for any
+    non-UTF8 bytes, matching the pandas path)."""
+    n = len(lines)
+    res = pc.extract_regex(lines, pattern=STRICT_PATTERN)
+    miss = pc.is_null(res)
+    n_miss = pc.sum(miss).as_py() or 0
+
+    fields: dict[str, pa.Array] = {name: res.field(name) for name in FIELD_NAMES}
+    valid = pc.invert(miss)
+
+    if n_miss:
+        miss_np = miss.to_numpy(zero_copy_only=False)
+        idx = np.nonzero(miss_np)[0]
+        fb_lines = pc.take(lines, pa.array(idx)).to_pylist()
+        fb_cols: dict[str, list] = {name: [] for name in FIELD_NAMES}
+        fb_valid = []
+        for raw in fb_lines:
+            g = _exact_parse_line(raw.decode("latin-1")) if raw is not None else None
+            fb_valid.append(g is not None)
+            for j, name in enumerate(FIELD_NAMES):
+                fb_cols[name].append(
+                    g[j].encode("latin-1") if g is not None else None
+                )
+        mask = pa.array(miss_np)
+        for name in FIELD_NAMES:
+            fields[name] = pc.replace_with_mask(
+                fields[name], mask, pa.array(fb_cols[name], type=pa.binary())
+            )
+        valid = pc.replace_with_mask(valid, mask, pa.array(fb_valid))
+
+    out: dict[str, pa.Array] = {}
+    for name in FIELD_NAMES:
+        col = fields[name]
+        if name == "body_bytes_sent":
+            out[name] = pc.cast(pc.cast(col, pa.string()), pa.int64())
+            continue
+        try:
+            out[name] = pc.cast(col, pa.string())
+        except pa.ArrowInvalid:
+            # non-UTF8 bytes: latin-1 transcode (slow path, rare)
+            out[name] = pa.array(
+                [b.decode("latin-1") if b is not None else None for b in col.to_pylist()],
+                type=pa.string(),
+            )
+    out["valid"] = valid
+    return out
+
+
+_OUT_ARROW_FIELDS = [
+    (name, pa.string()) for name, _ in PARSED_FIELDS[:9]
+]
+_OUT_ARROW_FIELDS[5] = ("body_bytes_sent", pa.int64())
+_OUT_ARROW_FIELDS.append(("valid", pa.bool_()))
+
+
+def parse_sequences_arrow(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """(doc_id, tokens, n_tok, source, ...) -> same + 9 fields + valid.
+
+    mapInArrow: the token bytes never materialize as Python objects on the
+    hot path; the input columns (including the token arrays — per-row
+    invariant) pass through untouched.
+    """
+    in_schema = df.schema
+    spark_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in in_schema.fields)
+    out_ddl = spark_fields + ", " + ", ".join(
+        f"{n} {'bigint' if t == pa.int64() else ('boolean' if t == pa.bool_() else 'string')}"
+        for n, t in _OUT_ARROW_FIELDS
+    )
+    tok_name = tokens_col
+
+    def op(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            tok = b.column(b.schema.get_field_index(tok_name))
+            lines = _tokens_to_binary(tok)
+            parsed = _parse_binary_lines(lines)
+            arrays = list(b.columns) + [parsed[n] for n, _ in _OUT_ARROW_FIELDS]
+            names = list(b.schema.names) + [n for n, _ in _OUT_ARROW_FIELDS]
+            yield pa.RecordBatch.from_arrays(arrays, names)
+
+    return df.mapInArrow(op, out_ddl)
+
+
+def parse_lines_arrow(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """Raw string-line variant (for spark.read.text inputs)."""
+    in_schema = df.schema
+    spark_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in in_schema.fields)
+    out_ddl = spark_fields + ", " + ", ".join(
+        f"{n} {'bigint' if t == pa.int64() else ('boolean' if t == pa.bool_() else 'string')}"
+        for n, t in _OUT_ARROW_FIELDS
+    )
+
+    def op(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            col = b.column(b.schema.get_field_index(line_col))
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            lines = pc.cast(col, pa.binary())
+            parsed = _parse_binary_lines(lines)
+            arrays = list(b.columns) + [parsed[n] for n, _ in _OUT_ARROW_FIELDS]
+            names = list(b.schema.names) + [n for n, _ in _OUT_ARROW_FIELDS]
+            yield pa.RecordBatch.from_arrays(arrays, names)
+
+    return df.mapInArrow(op, out_ddl)
+
+
+def parse_line_py(s: str) -> dict | None:
+    """Single-line reference implementation of the two-tier logic (tests)."""
+    import re
+
+    m = re.match(STRICT_PATTERN, s)
+    if m:
+        d = m.groupdict()
+        d["body_bytes_sent"] = int(d["body_bytes_sent"])
+        return d
+    g = _exact_parse_line(s)
+    if g is None:
+        return None
+    d = dict(zip(FIELD_NAMES, g))
+    d["body_bytes_sent"] = int(d["body_bytes_sent"])
+    return d

@@ -111,6 +111,13 @@ def decode_tokens(tok: pd.Series) -> pd.Series:
     return _tokens_to_lines(tok)
 
 
+@F.pandas_udf(T.ArrayType(T.IntegerType()))
+def encode_lines(lines: pd.Series) -> pd.Series:
+    """string -> array<int32> byte tokens (inverse of decode_tokens)."""
+    enc = lines.str.encode("latin-1")
+    return enc.map(lambda b: np.frombuffer(b, dtype=np.uint8).astype(np.int32))
+
+
 # ---------------------------------------------------------------------------
 # the parse operator
 # ---------------------------------------------------------------------------

@@ -1,0 +1,151 @@
+"""Arrow-native two-tier parser: parity with the C-semantics oracle.
+
+Tier contract: STRICT (RE2) ∪ EXACT (atomic-group regex) == oracle on every
+input. The scalar fuzz proves tier agreement; the batch tests prove the
+vectorized zero-copy plumbing (offsets math, fallback merge, casts).
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from nginx_log_spark.datagen import loggen
+from nginx_log_spark.parse import oracle
+from nginx_log_spark.parse.arrow_parser import (
+    _parse_binary_lines,
+    _tokens_to_binary,
+    parse_line_py,
+)
+
+NULL = "<NULL>"
+
+
+def _norm(d):
+    return None if d is None else {k: d[k] for k in sorted(d)}
+
+
+def test_two_tier_scalar_fuzz_matches_oracle():
+    rnd = random.Random(12)
+    alphabet = '0123456789abcf.:- []"GETPOSu/\\xyz'
+    base = (
+        '1.2.3.4 - - [10/Oct/2000:13:55:36 -0700] "GET /a HTTP/1.1" 200 2326 '
+        '"http://r/" "Mozilla (X11; Linux)" "-"'
+    )
+    for _ in range(30000):
+        s = base
+        for _ in range(rnd.randint(0, 4)):
+            p = rnd.randrange(len(s))
+            op = rnd.random()
+            if op < 0.4:
+                s = s[:p] + rnd.choice(alphabet) + s[p + 1 :]
+            elif op < 0.7:
+                s = s[:p] + s[p + 1 :]
+            else:
+                s = s[:p] + rnd.choice(alphabet) + s[p:]
+        assert _norm(parse_line_py(s)) == _norm(oracle.parse_line(s)), repr(s)
+
+
+def test_strict_tier_is_subset_of_oracle_accepts():
+    """Every STRICT match must be oracle-accepted with identical values
+    (the load-bearing property: RE2 can't emulate the exact parser, so the
+    strict shape must be unambiguous)."""
+    import re
+
+    from nginx_log_spark.parse.arrow_parser import FIELD_NAMES, STRICT_PATTERN
+
+    strict = re.compile(STRICT_PATTERN)
+    g = loggen.golden_pandas(20000)
+    n_strict = 0
+    for line in g.line:
+        m = strict.match(line)
+        if not m:
+            continue
+        n_strict += 1
+        o = oracle.parse_line(line)
+        assert o is not None, line
+        for name in FIELD_NAMES:
+            v = m.group(name)
+            if name == "body_bytes_sent":
+                v = int(v)
+            assert o[name] == v, (name, line)
+    assert n_strict > 15000  # the fast path must actually cover the bulk
+
+
+@pytest.fixture(scope="module")
+def batch50k():
+    n = 50000
+    seq = loggen.sequences_pandas(np.arange(n, dtype=np.uint64))
+    la = pa.array(seq.tokens.tolist(), type=pa.list_(pa.int32()))
+    out = _parse_binary_lines(_tokens_to_binary(la))
+    return loggen.golden_pandas(n), out
+
+
+def test_batch_matches_golden(batch50k):
+    g, out = batch50k
+    assert out["valid"].to_pylist() == g.valid.tolist()
+    for k in (
+        "remote_addr remote_user time_local request status "
+        "http_referer http_user_agent http_x_forwarded_for"
+    ).split():
+        got = [x if x is not None else NULL for x in out[k].to_pylist()]
+        exp = [r if v else NULL for r, v in zip(g["exp_" + k], g.valid)]
+        assert got == exp, k
+    got_b = [x if x is not None else -1 for x in out["body_bytes_sent"].to_pylist()]
+    exp_b = [int(r) if v else -1 for r, v in zip(g["exp_body_bytes_sent"].fillna(-1), g.valid)]
+    assert got_b == exp_b
+
+
+def test_sliced_list_array():
+    n = 6000
+    seq = loggen.sequences_pandas(np.arange(n, dtype=np.uint64))
+    la = pa.array(seq.tokens.tolist(), type=pa.list_(pa.int32()))
+    g = loggen.golden_pandas(n)
+    out = _parse_binary_lines(_tokens_to_binary(la.slice(1000, 4000)))
+    assert out["valid"].to_pylist() == g.valid.tolist()[1000:5000]
+    got = [x for x in out["request"].to_pylist()]
+    exp = [r if v else None for r, v in zip(g["exp_request"], g.valid)][1000:5000]
+    assert got == exp
+
+
+def test_spark_arrow_parse_matches_pandas_parse(spark):
+    """Both engine parsers agree end-to-end on Spark."""
+    from nginx_log_spark.parse.arrow_parser import parse_sequences_arrow
+    from nginx_log_spark.parse.parser import parse_sequences
+
+    seq = loggen.sequences_df(spark, 3000, partitions=4)
+    a = parse_sequences_arrow(seq).toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = parse_sequences(seq).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert (a.valid == b.valid).all()
+    for k in ("remote_addr", "request", "status", "http_user_agent"):
+        assert (a[k].fillna(NULL) == b[k].fillna(NULL)).all(), k
+    assert (a.body_bytes_sent.fillna(-1) == b.body_bytes_sent.fillna(-1)).all()
+    # tokens pass through untouched
+    exp = loggen.sequences_pandas(np.arange(3000, dtype=np.uint64))
+    assert all((np.asarray(x) == y).all() for x, y in zip(a.tokens, exp.tokens))
+
+
+def test_parse_lines_arrow(spark):
+    from nginx_log_spark.parse.arrow_parser import parse_lines_arrow
+
+    g = loggen.golden_pandas(2000)
+    df = spark.createDataFrame(g[["doc_id", "line"]])
+    out = parse_lines_arrow(df).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert (out.valid == g.valid).all()
+    assert (
+        out.request.fillna(NULL) == g.exp_request.where(g.valid).fillna(NULL)
+    ).all()
+
+
+def test_high_bytes_transcode():
+    """Bytes >127 in wrap fields: latin-1 transcoding, identical to the
+    pandas path's decode."""
+    line = b'1.2.3.4 - - [t] "GET /\xe9 HTTP/1.1" 200 5 "r" "UA \xff" "x"'
+    arr = pa.array([line], type=pa.binary())
+    out = _parse_binary_lines(arr)
+    assert out["valid"].to_pylist() == [True]
+    assert out["request"].to_pylist() == ["GET /\xe9 HTTP/1.1"]
+    assert out["http_user_agent"].to_pylist() == ["UA \xff"]

@@ -127,3 +127,38 @@ def test_render_report_smoke(parsed):
     assert byte_format(5 * 1024**3) == "5.00 GB"
     text = render_full_report(parsed, k=5)
     assert "来访IP统计" in text and "HTTP流量占比统计" in text and "状态码" in text
+
+
+def test_fused_reports_match_individual(parsed, gold):
+    """The one-shuffle fused query must reproduce every individual report."""
+    fused = R.fused_reports(parsed, 100).toPandas()
+    # plain count dims
+    for name, key in R.REPORT_KEYS.items():
+        f = fused[(fused.dim == name) & (fused.rn <= 100)].sort_values("rn")
+        ind = R.top_counts(parsed, key, 100).toPandas()
+        assert list(f.key) == list(ind[key]), name
+        assert list(f.cnt) == list(ind.cnt), name
+        assert (f.section_total == len(gold)).all(), name
+    # bytes ranking rides on the request dim (rn_bytes)
+    f = fused[(fused.dim == "top_requests") & (fused.rn_bytes <= 100)].sort_values("rn_bytes")
+    ind = R.bytes_by_request(parsed, 100).toPandas()
+    assert list(f.key) == list(ind.request)
+    assert list(f.bytes) == list(ind.bytes)
+    # bad-code dim
+    f = fused[fused.dim == "bad_code"].sort_values(["key", "rn"])
+    ind = R.bad_code_breakdown(parsed, 100).toPandas()
+    assert list(f.key) == list(ind.status)
+    assert list(f.key2) == list(ind.request)
+    assert list(f.cnt) == list(ind.cnt)
+    assert list(f.section_total) == list(ind.section_total)
+    # totals ride along
+    t = R.totals(parsed).collect()[0]
+    ips = fused[fused.dim == "top_ips"]
+    assert ips.section_total.iloc[0] == t["total_lines"]
+    assert ips.section_bytes.iloc[0] == t["total_bytes_sent"]
+    assert ips.section_keys.iloc[0] == t["unique_ips"]
+    # hourly dim matches the timestamp-based report
+    f = fused[fused.dim == "hourly"]
+    ind = R.hourly_traffic(parsed).toPandas()
+    assert len(f) == len(ind)
+    assert sorted(f.cnt) == sorted(ind.hits)
