@@ -66,15 +66,12 @@ def _timed(fn, label: str = "") -> float:
 
 def pipeline_job(spark, seq):
     """The reference's whole job: parse once, compute ALL aggregates
-    (c/main.c:407-523) — the scaling-efficiency workload. One fused query:
-    scan -> parse -> explode dims -> partial+final agg -> window top-K."""
-    from pyspark.sql import functions as F
+    (c/main.c:407-523) — the scaling-efficiency workload. One fused
+    mapInArrow pass (parse + per-partition partial agg, no Arrow field
+    shipping) -> tiny final agg -> window top-K."""
+    from nginx_log_spark.reports.reports import fused_reports_arrow
 
-    from nginx_log_spark.parse import parse_sequences
-    from nginx_log_spark.reports.reports import fused_reports
-
-    parsed = parse_sequences(seq).filter(F.col("valid")).drop("tokens")
-    fused_reports(parsed).collect()
+    fused_reports_arrow(seq).collect()
 
 
 def _group_queries(spark, group: str) -> dict[str, float]:
@@ -208,10 +205,15 @@ def run_scaling_child(cpus: int) -> None:
     seq = _ensure_seq(spark)
     n = seq.count()  # warm file listing
     # warm python workers + JIT with a DIFFERENT job (a repeated identical
-    # job would reuse its shuffle stages and time ~0)
+    # job would reuse its shuffle stages and time ~0); then min-of-3 — the
+    # python worker pool warms unevenly and single runs are noisy
     parse_sequences(seq).filter(F.col("valid")).count()
-    t = _timed(lambda: pipeline_job(spark, seq), f"pipeline@local[{cpus}]")
-    print(json.dumps({"cpus": cpus, "sec": t, "rows": n}))
+    n_runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
+    ts = [
+        _timed(lambda: pipeline_job(spark, seq), f"pipeline@local[{cpus}] run{i}")
+        for i in range(n_runs)
+    ]
+    print(json.dumps({"cpus": cpus, "sec": min(ts), "runs": ts, "rows": n}))
     spark.stop()
 
 
@@ -246,9 +248,14 @@ def run_scaling(n_small: int = 8) -> dict:
             SPARK_GRAFT_SHUFFLE_PARTITIONS="64",
             SPARK_GRAFT_MAX_PARTITION_BYTES="8388608",
         )
+        # pin the whole child (JVM + python workers) to exactly `cpus`
+        # cores — local[N] alone still lets the JVM feed threads borrow
+        # idle cores, flattering the small configuration
+        cmd = [sys.executable, __file__, "--scaling-child", str(cpus)]
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
         r = subprocess.run(
-            [sys.executable, __file__, "--scaling-child", str(cpus)],
-            capture_output=True, text=True, env=env, timeout=3600,
+            cmd, capture_output=True, text=True, env=env, timeout=3600,
         )
         line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
         out[cpus] = json.loads(line)
@@ -276,6 +283,6 @@ if __name__ == "__main__":
     elif "--scaling-child" in sys.argv:
         run_scaling_child(int(sys.argv[sys.argv.index("--scaling-child") + 1]))
     elif "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        print(json.dumps(run_scaling(int(os.environ.get("SPARK_GRAFT_SCALING_N", "8")))))
     else:
         print(json.dumps(run_bench()))

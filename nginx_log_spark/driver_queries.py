@@ -233,6 +233,24 @@ def log_token_integrity(spark, sf):
     )
 
 
+@_register(
+    "log_parse_extended",
+    f"""{parity.duck_ext_cte()} SELECT doc_id, host, request_length, bytes_sent,
+        upstream_addr, upstream_status, request_time, upstream_response_time,
+        upstream_connect_time, upstream_header_time FROM logs WHERE valid""",
+)
+def log_parse_extended(spark, sf):
+    """Extended-tail fields (c/main.c:169-212, defined but unwired in the
+    reference's main — wired here as a parse mode)."""
+    from nginx_log_spark.parse.arrow_parser import EXT_FIELD_NAMES
+
+    return (
+        parity.parsed_ext_log_df(spark, sf)
+        .filter(F.col("valid"))
+        .select("doc_id", *EXT_FIELD_NAMES)
+    )
+
+
 @_register("log_salted_topk", _top_oracle("remote_addr", 20))
 def log_salted_topk(spark, sf):
     """Skew-safe two-phase salted aggregation == plain aggregation."""

@@ -79,6 +79,36 @@ def field_exprs(d: str) -> dict[str, str]:
         "CASE user_id % 4 WHEN 0 THEN 'web-01' WHEN 1 THEN 'web-02'"
         " WHEN 2 THEN 'cdn' ELSE 'edge' END"
     )
+    # extended tail (c/main.c:169-212): present on ~half the lines
+    e["has_tail"] = "user_id % 2 = 0"
+    e["host"] = f"CASE WHEN user_id % 2 = 0 THEN 'srv-' || {s('user_id % 3')} || '.example.com' END"
+    e["request_length"] = f"CASE WHEN user_id % 2 = 0 THEN {s('event_id % 1000 + 100')} END"
+    e["bytes_sent"] = f"CASE WHEN user_id % 2 = 0 THEN {s('event_id % 5000 + 200')} END"
+    e["upstream_addr"] = (
+        f"CASE WHEN user_id % 2 = 0 THEN '10.8.' || {s('user_id % 7')} || '.1:8080' END"
+    )
+    e["upstream_status"] = (
+        "CASE WHEN user_id % 2 = 0 THEN (CASE WHEN event_id % 20 = 0 THEN '-' ELSE '502' END) END"
+    )
+    e["request_time"] = f"CASE WHEN user_id % 2 = 0 THEN '0.' || {s('event_id % 900 + 100')} END"
+    e["upstream_response_time"] = (
+        "CASE WHEN user_id % 2 = 0 THEN (CASE WHEN event_id % 20 = 0 THEN '-' "
+        f"ELSE '0.' || {s('event_id % 800 + 100')} END) END"
+    )
+    e["upstream_connect_time"] = (
+        f"CASE WHEN user_id % 2 = 0 THEN '0.' || {s('event_id % 70 + 10')} END"
+    )
+    e["upstream_header_time"] = (
+        f"CASE WHEN user_id % 2 = 0 THEN '0.' || {s('event_id % 60 + 10')} END"
+    )
+    tail = (
+        f"CASE WHEN user_id % 2 = 0 THEN ' ' || {e['host']} || ' ' || {e['request_length']}"
+        f" || ' ' || {e['bytes_sent']} || ' ' || {e['upstream_addr']}"
+        f" || ' ' || {e['upstream_status']} || ' ' || {e['request_time']}"
+        f" || ' ' || {e['upstream_response_time']} || ' ' || {e['upstream_connect_time']}"
+        f" || ' ' || {e['upstream_header_time']} ELSE '' END"
+    )
+    e["ext_tail"] = tail
     good = (
         f"{e['remote_addr']} || ' - ' || {e['remote_user']} || ' [' || {e['time_local']}"
         f" || '] \"' || {e['request']} || '\" ' || {e['status']} || ' '"
@@ -86,8 +116,13 @@ def field_exprs(d: str) -> dict[str, str]:
         f" || '\" \"' || {e['http_user_agent']} || '\" \"' || {e['http_x_forwarded_for']} || '\"'"
     )
     e["good_line"] = good
+    e["good_line_ext"] = f"({good}) || ({tail})"
     # truncation always cuts inside/before the [time] field => always rejected
     e["line"] = f"CASE WHEN event_id % {MALFORMED_MOD} = 0 THEN substr({good}, 1, 20) ELSE {good} END"
+    e["line_ext"] = (
+        f"CASE WHEN event_id % {MALFORMED_MOD} = 0 THEN substr({good}, 1, 20)"
+        f" ELSE ({good}) || ({tail}) END"
+    )
     e["valid"] = f"event_id % {MALFORMED_MOD} <> 0"
     e["status_class"] = f"substr({e['status']}, 1, 1) || 'xx'"
     return e
@@ -122,6 +157,41 @@ def parsed_log_df(spark, sf_dir: str):
         "doc_id", "tokens", "n_tok", "source"
     )
     return parse_sequences(seq)
+
+
+def parsed_ext_log_df(spark, sf_dir: str):
+    """Extended-tail variant of the engine path."""
+    from pyspark.sql import functions as F
+
+    from nginx_log_spark.parse import parse_sequences
+    from nginx_log_spark.parse.parser import encode_lines
+
+    e = field_exprs("spark")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    seq = (
+        ev.withColumn("doc_id", F.expr(e["doc_id"]))
+        .withColumn("line", F.expr(e["line_ext"]))
+        .withColumn("source", F.expr(e["source"]))
+        .withColumn("tokens", encode_lines(F.col("line")))
+        .withColumn("n_tok", F.size("tokens").cast("int"))
+        .select("doc_id", "tokens", "n_tok", "source")
+    )
+    return parse_sequences(seq, extended=True)
+
+
+def duck_ext_cte() -> str:
+    """DuckDB CTE with the rendered extended-tail expectations."""
+    e = field_exprs("duck")
+    cols = ", ".join(
+        f"{e[name]} AS {name}"
+        for name in (
+            "doc_id", "valid", "host", "request_length", "bytes_sent",
+            "upstream_addr", "upstream_status", "request_time",
+            "upstream_response_time", "upstream_connect_time",
+            "upstream_header_time",
+        )
+    )
+    return f"WITH logs AS (SELECT {cols} FROM events)"
 
 
 def duck_base_cte() -> str:

@@ -61,6 +61,51 @@ def _exact_parse_line(s: str) -> tuple | None:
     return g
 
 
+# ---------------------------------------------------------------------------
+# extended-tail mode: the 9 tail parsers the reference defines but never
+# wires into main (c/main.c:169-212) — host, request_length, bytes_sent,
+# upstream_addr, upstream_status, request_time, upstream_{response,connect,
+# header}_time. STRICT accepts exactly two shapes (no tail at all, or the
+# full canonical 9-field tail) — anything else, e.g. multi-upstream
+# "502, 304" statuses, falls to the EXACT tier, which replays the C
+# combinators from the core parser's end cursor.
+# ---------------------------------------------------------------------------
+
+EXT_FIELD_NAMES = [
+    "host", "request_length", "bytes_sent", "upstream_addr", "upstream_status",
+    "request_time", "upstream_response_time", "upstream_connect_time",
+    "upstream_header_time",
+]
+
+STRICT_EXT_PATTERN = STRICT_PATTERN[:-1] + (  # strip the trailing $
+    r"(?:"
+    r" (?P<host>[^ ]+)"
+    r" (?P<request_length>[0-9]+)"
+    r" (?P<bytes_sent>[0-9]+)"
+    r" (?P<upstream_addr>[^ ]+)"
+    r" (?P<upstream_status>[0-9]+|-)"
+    r" (?P<request_time>[0-9.]+)"
+    r" (?P<upstream_response_time>[0-9.\-]+)"
+    r" (?P<upstream_connect_time>[0-9.\-]+)"
+    r" (?P<upstream_header_time>[0-9.\-]+)"
+    r")?$"
+)
+
+
+def _exact_parse_line_ext(s: str) -> tuple | None:
+    """Core fields + extended tail via the C-semantics combinators."""
+    from nginx_log_spark.parse import oracle
+
+    m = _CORE_RE.match(s)
+    if not m:
+        return None
+    g = m.groups()
+    if len(g[4]) != 3:
+        return None
+    tail = oracle.parse_extended_tail(s, m.end())
+    return g + tuple(tail[n] for n in oracle.EXT_FIELDS)
+
+
 def _tokens_to_binary(tok: pa.Array) -> pa.BinaryArray:
     """list<int32> of byte values -> BinaryArray, zero-copy offsets."""
     if isinstance(tok, pa.ChunkedArray):
@@ -77,40 +122,49 @@ def _tokens_to_binary(tok: pa.Array) -> pa.BinaryArray:
     )
 
 
-def _parse_binary_lines(lines: pa.BinaryArray) -> dict[str, pa.Array]:
+def _parse_binary_lines(lines: pa.BinaryArray, extended: bool = False) -> dict[str, pa.Array]:
     """BinaryArray of raw lines -> {field: Array} + 'valid' (the full
     two-tier parse). Field arrays are utf8 (latin-1 transcoding for any
     non-UTF8 bytes, matching the pandas path)."""
-    n = len(lines)
-    res = pc.extract_regex(lines, pattern=STRICT_PATTERN)
+    names = FIELD_NAMES + (EXT_FIELD_NAMES if extended else [])
+    pattern = STRICT_EXT_PATTERN if extended else STRICT_PATTERN
+    fallback = _exact_parse_line_ext if extended else _exact_parse_line
+
+    res = pc.extract_regex(lines, pattern=pattern)
     miss = pc.is_null(res)
     n_miss = pc.sum(miss).as_py() or 0
 
-    fields: dict[str, pa.Array] = {name: res.field(name) for name in FIELD_NAMES}
+    fields: dict[str, pa.Array] = {name: res.field(name) for name in names}
+    if extended:
+        # RE2 reports non-participating optional groups as '' — but every
+        # extended-tail run is >=1 char, so '' unambiguously means absent
+        empty = pa.scalar(b"", pa.binary())
+        absent = pa.scalar(None, pa.binary())
+        for name in EXT_FIELD_NAMES:
+            fields[name] = pc.if_else(pc.equal(fields[name], empty), absent, fields[name])
     valid = pc.invert(miss)
 
     if n_miss:
         miss_np = miss.to_numpy(zero_copy_only=False)
         idx = np.nonzero(miss_np)[0]
         fb_lines = pc.take(lines, pa.array(idx)).to_pylist()
-        fb_cols: dict[str, list] = {name: [] for name in FIELD_NAMES}
+        fb_cols: dict[str, list] = {name: [] for name in names}
         fb_valid = []
         for raw in fb_lines:
-            g = _exact_parse_line(raw.decode("latin-1")) if raw is not None else None
+            g = fallback(raw.decode("latin-1")) if raw is not None else None
             fb_valid.append(g is not None)
-            for j, name in enumerate(FIELD_NAMES):
-                fb_cols[name].append(
-                    g[j].encode("latin-1") if g is not None else None
-                )
+            for j, name in enumerate(names):
+                v = g[j] if g is not None else None
+                fb_cols[name].append(v.encode("latin-1") if v is not None else None)
         mask = pa.array(miss_np)
-        for name in FIELD_NAMES:
+        for name in names:
             fields[name] = pc.replace_with_mask(
                 fields[name], mask, pa.array(fb_cols[name], type=pa.binary())
             )
         valid = pc.replace_with_mask(valid, mask, pa.array(fb_valid))
 
     out: dict[str, pa.Array] = {}
-    for name in FIELD_NAMES:
+    for name in names:
         col = fields[name]
         if name == "body_bytes_sent":
             out[name] = pc.cast(pc.cast(col, pa.string()), pa.int64())
@@ -127,48 +181,55 @@ def _parse_binary_lines(lines: pa.BinaryArray) -> dict[str, pa.Array]:
     return out
 
 
-_OUT_ARROW_FIELDS = [
-    (name, pa.string()) for name, _ in PARSED_FIELDS[:9]
-]
-_OUT_ARROW_FIELDS[5] = ("body_bytes_sent", pa.int64())
-_OUT_ARROW_FIELDS.append(("valid", pa.bool_()))
+def _out_arrow_fields(extended: bool) -> list[tuple[str, pa.DataType]]:
+    f = [(name, pa.string()) for name, _ in PARSED_FIELDS[:9]]
+    f[5] = ("body_bytes_sent", pa.int64())
+    if extended:
+        f += [(name, pa.string()) for name in EXT_FIELD_NAMES]
+    f.append(("valid", pa.bool_()))
+    return f
 
 
-def parse_sequences_arrow(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
-    """(doc_id, tokens, n_tok, source, ...) -> same + 9 fields + valid.
+def _out_ddl(df: DataFrame, out_fields) -> str:
+    spark_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    return spark_fields + ", " + ", ".join(
+        f"{n} {'bigint' if t == pa.int64() else ('boolean' if t == pa.bool_() else 'string')}"
+        for n, t in out_fields
+    )
+
+
+def parse_sequences_arrow(
+    df: DataFrame, tokens_col: str = "tokens", extended: bool = False
+) -> DataFrame:
+    """(doc_id, tokens, n_tok, source, ...) -> same + 9 fields + valid
+    (+ the 9 nullable extended-tail fields with extended=True).
 
     mapInArrow: the token bytes never materialize as Python objects on the
     hot path; the input columns (including the token arrays — per-row
     invariant) pass through untouched.
     """
-    in_schema = df.schema
-    spark_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in in_schema.fields)
-    out_ddl = spark_fields + ", " + ", ".join(
-        f"{n} {'bigint' if t == pa.int64() else ('boolean' if t == pa.bool_() else 'string')}"
-        for n, t in _OUT_ARROW_FIELDS
-    )
+    out_fields = _out_arrow_fields(extended)
+    out_ddl = _out_ddl(df, out_fields)
     tok_name = tokens_col
 
     def op(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
             tok = b.column(b.schema.get_field_index(tok_name))
             lines = _tokens_to_binary(tok)
-            parsed = _parse_binary_lines(lines)
-            arrays = list(b.columns) + [parsed[n] for n, _ in _OUT_ARROW_FIELDS]
-            names = list(b.schema.names) + [n for n, _ in _OUT_ARROW_FIELDS]
+            parsed = _parse_binary_lines(lines, extended)
+            arrays = list(b.columns) + [parsed[n] for n, _ in out_fields]
+            names = list(b.schema.names) + [n for n, _ in out_fields]
             yield pa.RecordBatch.from_arrays(arrays, names)
 
     return df.mapInArrow(op, out_ddl)
 
 
-def parse_lines_arrow(df: DataFrame, line_col: str = "line") -> DataFrame:
+def parse_lines_arrow(
+    df: DataFrame, line_col: str = "line", extended: bool = False
+) -> DataFrame:
     """Raw string-line variant (for spark.read.text inputs)."""
-    in_schema = df.schema
-    spark_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in in_schema.fields)
-    out_ddl = spark_fields + ", " + ", ".join(
-        f"{n} {'bigint' if t == pa.int64() else ('boolean' if t == pa.bool_() else 'string')}"
-        for n, t in _OUT_ARROW_FIELDS
-    )
+    out_fields = _out_arrow_fields(extended)
+    out_ddl = _out_ddl(df, out_fields)
 
     def op(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
@@ -176,9 +237,9 @@ def parse_lines_arrow(df: DataFrame, line_col: str = "line") -> DataFrame:
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
             lines = pc.cast(col, pa.binary())
-            parsed = _parse_binary_lines(lines)
-            arrays = list(b.columns) + [parsed[n] for n, _ in _OUT_ARROW_FIELDS]
-            names = list(b.schema.names) + [n for n, _ in _OUT_ARROW_FIELDS]
+            parsed = _parse_binary_lines(lines, extended)
+            arrays = list(b.columns) + [parsed[n] for n, _ in out_fields]
+            names = list(b.schema.names) + [n for n, _ in out_fields]
             yield pa.RecordBatch.from_arrays(arrays, names)
 
     return df.mapInArrow(op, out_ddl)

@@ -228,6 +228,114 @@ def fused_reports(parsed: DataFrame, k: int = TOP_K) -> DataFrame:
     return ranked
 
 
+def _rank_partials(agg: DataFrame, k: int) -> DataFrame:
+    """Final agg + per-dim top-K ranking over (dim_id, key0, cnt, bytes)
+    partials — shared tail of both fused implementations."""
+    agg = agg.groupBy("dim_id", "key0").agg(
+        F.sum("cnt").alias("cnt"), F.sum("bytes").alias("bytes")
+    )
+    is_bad = F.col("dim_id") == 9
+    named = agg.select(
+        F.element_at(F.array(*[F.lit(d) for d in _FUSED_DIMS]), F.col("dim_id") + 1).alias("dim"),
+        F.col("dim_id"),
+        F.when(is_bad, F.split_part(F.col("key0"), F.lit(_SEP), F.lit(1))).otherwise(F.col("key0")).alias("key"),
+        F.when(is_bad, F.split_part(F.col("key0"), F.lit(_SEP), F.lit(2))).alias("key2"),
+        F.col("key0"),
+        "cnt",
+        "bytes",
+    )
+    w = W.partitionBy("dim_id", F.when(is_bad, F.col("key")))
+    return (
+        named.withColumn("section_total", F.sum("cnt").over(w))
+        .withColumn("section_bytes", F.sum("bytes").over(w))
+        .withColumn("section_keys", F.count(F.lit(1)).over(w))
+        .withColumn("rn", F.row_number().over(w.orderBy(F.desc("cnt"), F.asc("key0"))))
+        .withColumn("rn_bytes", F.row_number().over(w.orderBy(F.desc("bytes"), F.asc("key0"))))
+        .filter((F.col("rn") <= k) | ((F.col("dim_id") == 3) & (F.col("rn_bytes") <= k)))
+        .drop("key0")
+    )
+
+
+def fused_reports_arrow(seq: DataFrame, k: int = TOP_K, tokens_col: str = "tokens") -> DataFrame:
+    """parse + per-partition partial aggregation fused into ONE mapInArrow
+    pass — the literal Spark analogue of the reference's per-line
+    multi-aggregate loop (c/main.c:407-478).
+
+    Why not parse-then-aggregate: shipping every parsed field (and the
+    token arrays) from the Python workers back to the JVM costs far more
+    than the parse itself (~10-15us/row/core measured), and the 10-way JVM
+    explode anti-scales under allocation pressure. Here the Python op
+    consumes the batch, aggregates per (dim, key) with pyarrow's C++ hash
+    group-by, and emits ONE tiny partial table per input partition; the
+    JVM only merges ~10^5-row partials and ranks.
+
+    Input: the raw sequences table. Output: identical to fused_reports.
+    """
+    import pyarrow as pa
+
+    from nginx_log_spark.parse.arrow_parser import (
+        _parse_binary_lines,
+        _tokens_to_binary,
+    )
+
+    def op(batches):
+        import pyarrow.compute as pc
+
+        parts: list[pa.Table] = []
+        for b in batches:
+            tok = b.column(b.schema.get_field_index(tokens_col))
+            parsed = _parse_binary_lines(_tokens_to_binary(tok))
+            valid = parsed["valid"]
+            body = pc.if_else(valid, parsed["body_bytes_sent"], pa.scalar(None, pa.int64()))
+            keys = [
+                parsed["remote_addr"], parsed["remote_user"],
+                parsed["http_x_forwarded_for"], parsed["request"],
+                parsed["http_user_agent"], parsed["http_referer"],
+                parsed["time_local"], parsed["status"],
+                pc.utf8_slice_codeunits(parsed["time_local"], 0, 14),
+                pc.if_else(
+                    pc.and_kleene(valid, pc.not_equal(parsed["status"], "200")),
+                    pc.binary_join_element_wise(parsed["status"], parsed["request"], _SEP),
+                    pa.scalar(None, pa.string()),
+                ),
+            ]
+            for dim_id, key in enumerate(keys):
+                key = pc.if_else(valid, key, pa.scalar(None, pa.string()))
+                t = pa.table({"key0": key, "b": body})
+                g = t.group_by("key0").aggregate([("b", "sum"), ("b", "count")])
+                g = g.filter(pc.is_valid(g.column("key0")))
+                parts.append(
+                    pa.table(
+                        {
+                            "dim_id": pa.array([dim_id] * len(g), pa.int32()),
+                            "key0": g.column("key0"),
+                            "cnt": pc.cast(g.column("b_count"), pa.int64()),
+                            "bytes": g.column("b_sum"),
+                        }
+                    )
+                )
+        if not parts:
+            return
+        merged = (
+            pa.concat_tables(parts)
+            .group_by(["dim_id", "key0"])
+            .aggregate([("cnt", "sum"), ("bytes", "sum")])
+        )
+        out = pa.table(
+            {
+                "dim_id": merged.column("dim_id"),
+                "key0": merged.column("key0"),
+                "cnt": merged.column("cnt_sum"),
+                "bytes": merged.column("bytes_sum"),
+            }
+        )
+        for batch in out.to_batches(max_chunksize=1 << 20):
+            yield batch
+
+    partials = seq.mapInArrow(op, "dim_id int, key0 string, cnt long, bytes long")
+    return _rank_partials(partials, k)
+
+
 def all_reports(parsed: DataFrame, k: int = TOP_K) -> dict[str, DataFrame]:
     """The full report set off one (cached) parsed DataFrame."""
     out = {"totals": totals(parsed)}

@@ -149,3 +149,84 @@ def test_high_bytes_transcode():
     assert out["valid"].to_pylist() == [True]
     assert out["request"].to_pylist() == ["GET /\xe9 HTTP/1.1"]
     assert out["http_user_agent"].to_pylist() == ["UA \xff"]
+
+
+EXT_TAIL = " srv-1.example.com 512 1024 10.8.3.1:8080 502 0.123 0.100 0.010 0.050"
+
+
+def test_extended_strict_and_fallback_match_oracle():
+    from nginx_log_spark.parse.arrow_parser import (
+        EXT_FIELD_NAMES,
+        _exact_parse_line_ext,
+        _parse_binary_lines,
+    )
+
+    base = '1.2.3.4 - - [10/Oct/2000:13:55:36 +0000] "GET /a HTTP/1.1" 200 5 "r" "ua" "x"'
+    cases = [
+        base,  # no tail
+        base + EXT_TAIL,  # full canonical tail (strict)
+        base + " srv 100 200 - - 0.5 - - -",  # '-' upstreams (strict)
+        base + "  srv-1.example.com 512",  # partial/multi-space tail (fallback)
+        base + " srv 100 200 up 502, 304 0.5 0.1 0.1 0.1",  # multi-upstream (fallback)
+    ]
+    arr = pa.array([c.encode() for c in cases], type=pa.binary())
+    out = _parse_binary_lines(arr, extended=True)
+    for i, line in enumerate(cases):
+        exp = _exact_parse_line_ext(line)
+        assert out["valid"].to_pylist()[i] == (exp is not None), line
+        for j, name in enumerate(EXT_FIELD_NAMES, start=9):
+            assert out[name].to_pylist()[i] == exp[j], (line, name)
+    # the multi-upstream case exercises digital_or_none_end's y-dependence
+    assert out["upstream_status"].to_pylist()[4] == "502, 304"
+
+
+def test_extended_fuzz_strict_subset():
+    """Any STRICT_EXT match must equal the combinator parse (tail tier)."""
+    import re
+
+    from nginx_log_spark.parse.arrow_parser import (
+        EXT_FIELD_NAMES,
+        STRICT_EXT_PATTERN,
+        _exact_parse_line_ext,
+    )
+
+    strict = re.compile(STRICT_EXT_PATTERN)
+    rnd = random.Random(21)
+    base = '1.2.3.4 - - [t] "G" 200 5 "r" "u" "x"' + EXT_TAIL
+    alphabet = '0123456789abcf.:- []"/xyz'
+    n_checked = 0
+    for _ in range(20000):
+        s = base
+        for _ in range(rnd.randint(0, 4)):
+            p = rnd.randrange(len(s))
+            op = rnd.random()
+            if op < 0.4:
+                s = s[:p] + rnd.choice(alphabet) + s[p + 1 :]
+            elif op < 0.7:
+                s = s[:p] + s[p + 1 :]
+            else:
+                s = s[:p] + rnd.choice(alphabet) + s[p:]
+        m = strict.match(s)
+        if not m:
+            continue
+        n_checked += 1
+        exp = _exact_parse_line_ext(s)
+        assert exp is not None, s
+        for j, name in enumerate(EXT_FIELD_NAMES, start=9):
+            assert m.group(name) == exp[j], (s, name)
+    assert n_checked > 2000
+
+
+def test_extended_spark_roundtrip(spark):
+    import pandas as pd
+
+    from nginx_log_spark.parse.arrow_parser import parse_lines_arrow
+
+    base = '9.8.7.6 - u [t] "GET / HTTP/1.1" 301 9 "" "UA" ""'
+    df = spark.createDataFrame(
+        pd.DataFrame({"line": [base, base + EXT_TAIL]})
+    )
+    out = parse_lines_arrow(df, extended=True).toPandas()
+    assert list(out.valid) == [True, True]
+    assert out.host.iloc[1] == "srv-1.example.com" and pd.isna(out.host.iloc[0])
+    assert out.upstream_header_time.iloc[1] == "0.050"

@@ -162,3 +162,21 @@ def test_fused_reports_match_individual(parsed, gold):
     ind = R.hourly_traffic(parsed).toPandas()
     assert len(f) == len(ind)
     assert sorted(f.cnt) == sorted(ind.hits)
+
+
+def test_fused_reports_arrow_matches_fused(spark):
+    """The python-partial-agg fused path == the JVM explode fused path."""
+    seq = loggen.sequences_df(spark, N, partitions=4)
+    from pyspark.sql import functions as F
+
+    jvm = R.fused_reports(
+        parse_sequences(seq).filter(F.col("valid")), 100
+    ).toPandas().sort_values(["dim_id", "rn"]).reset_index(drop=True)
+    arr = R.fused_reports_arrow(seq, 100).toPandas().sort_values(
+        ["dim_id", "rn"]
+    ).reset_index(drop=True)
+    assert len(jvm) == len(arr)
+    for c in ["dim", "key", "key2", "cnt", "bytes", "section_total", "rn", "rn_bytes"]:
+        a = jvm[c].fillna("<N>") if jvm[c].dtype == object else jvm[c].fillna(-1)
+        b = arr[c].fillna("<N>") if arr[c].dtype == object else arr[c].fillna(-1)
+        assert list(a) == list(b), c
