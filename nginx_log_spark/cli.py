@@ -42,12 +42,15 @@ def main(argv: list[str] | None = None) -> int:
     else:
         parsed = parse_lines(spark.read.text(path).withColumnRenamed("value", "line"))
 
-    # stderr echo of rejected lines, c/main.c:480-483 (doc_id for token input)
+    # stderr echo of rejected lines, c/main.c:480-483 (doc_id for token input).
+    # toLocalIterator streams one partition at a time — bounded driver memory
+    # even when most of a huge input is rejected (the reference streams too).
     echo_col = "line" if "line" in parsed.columns else "doc_id"
-    for r in parsed.filter(~F.col("valid")).select(echo_col).collect():
+    for r in parsed.filter(~F.col("valid")).select(echo_col).toLocalIterator():
         print(r[0], file=sys.stderr)
 
-    print(render_full_report(parsed.filter(F.col("valid")), k=args.top))
+    sys.stdout.write(render_full_report(parsed.filter(F.col("valid")), k=args.top))
+    sys.stdout.flush()
     spark.stop()
     return 0
 

@@ -1,9 +1,28 @@
-"""Terminal report renderer — output parity with the reference CLI.
+"""Terminal report renderer — byte-parity with the reference CLI.
 
-Reproduces the reference's report layout (c/main.c:485-523): header totals,
-eight count tables, the bytes table, and per-bad-code sections, each with
-top-100 rows, percentages to 2dp, and the coverage footer. Runs driver-side
-on the collected top-K rows (<= a few hundred), so cost is nil.
+Reproduces the reference's report byte stream (c/main.c:485-523): header
+totals (:487-494), eight count tables (print_stat_long :246-278), the bytes
+table (print_sent_long :280-321), and per-bad-code sections (print_code_long
+:323-360), each with top-100 rows, %.2f percentages, and the 前100项占比
+coverage footer. Verified against the COMPILED C binary in
+tests/test_golden_c.py (byte-equal modulo within-table tie order — the
+reference's qsort is unstable, c/hash.c:173-200).
+
+Engine side: ONE fused Spark job (reports.fused_reports /
+fused_reports_arrow) supplies every table, the distinct-key counts
+(section_keys) and the header totals (section_total/section_bytes) in a
+single collect — the renderer itself is pure driver-side string work over
+<= a few thousand rows.
+
+printf parity notes:
+- percentages are computed HERE from the raw integers with the exact C
+  double expressions: rows use (num/denom)*100 (c/main.c:267), section
+  headers use (100*total)/total_lines (c/main.c:332) — the multiply-first
+  vs divide-first order changes the last ulp, so we mirror each;
+- Python's ``f"{x:.2f}"`` and glibc's ``%.2f`` both correctly round the
+  binary double, so the rendered digits agree;
+- key truncation/padding is per CHARACTER here vs per BYTE in C (%-W.Ws);
+  identical for ASCII keys (the golden fixture is ASCII-only).
 """
 
 from __future__ import annotations
@@ -32,6 +51,7 @@ _GREEN = "\x1b[1;32m"
 _RED = "\x1b[1;31m"
 _RST = "\x1b[00m"
 
+# dim -> report title, in the reference's print order (c/main.c:499-513)
 REPORT_TITLES = {
     "top_ips": "来访IP统计",
     "top_users": "用户统计",
@@ -44,114 +64,151 @@ REPORT_TITLES = {
     "bytes_by_request": "HTTP流量占比统计",
 }
 
+_PRINT_ORDER = [
+    "top_ips", "top_users", "top_xff", "top_requests",
+    "top_uas", "top_referers", "top_times", "status_counts",
+]
+
 
 def _width() -> int:
+    # get_width() - 16 (c/main.c:495); fallback when not a tty
     return max(shutil.get_terminal_size((96, 24)).columns - 16, 20)
 
 
-def render_header(totals_row) -> str:
-    sent = byte_format(int(totals_row["total_bytes_sent"] or 0))
-    return (
-        f"\n共计{_BLUE}{totals_row['total_lines']}{_RST}次访问\n"
-        f"发送总流量{_GREEN}{sent}{_RST}\n"
-        f"独立IP数{_RED}{totals_row['unique_ips']}{_RST}\n"
-    )
+class _Colors:
+    def __init__(self, on: bool):
+        self.blue = _BLUE if on else ""
+        self.green = _GREEN if on else ""
+        self.red = _RED if on else ""
+        self.rst = _RST if on else ""
 
 
-def render_count_table(title: str, rows, total_lines: int, distinct: int, width: int | None = None) -> str:
-    w = width or _width()
-    out = [f"\n{_BLUE}{title}{_RST}"]
+def _stat_table(
+    out: list[str], title: str, rows, denom: int, distinct: int,
+    w: int, c: _Colors, limit: int,
+) -> None:
+    """print_stat_long (c/main.c:246-278): rows are (key, cnt) rank order."""
+    out.append(f"\n{c.blue}{title}{c.rst}\n")
     covered = 0
-    for r in rows:
-        key, cnt, pct = r[0], r[1], r[2]
+    for key, cnt in rows:
+        pct = (cnt / denom) * 100 if denom else 0.0
+        out.append(f"{str(key)[:w]:<{w}} {cnt:6d} {pct:.2f}%\n")
         covered += cnt
-        out.append(f"{str(key)[:w]:<{w}} {cnt:6d} {pct:.2f}%")
-    cov_pct = covered / total_lines * 100 if total_lines else 0.0
-    out.append(f"前100项占比\n{f'{covered}/{total_lines}':<{w}} {distinct:6d} {cov_pct:.2f}%\n")
-    return "\n".join(out)
+    cov = (covered / denom) * 100 if denom else 0.0
+    buf = f"{covered}/{denom}"
+    out.append(f"前{limit}项占比\n{buf:<{w}} {distinct:6d} {cov:.2f}%\n\n")
 
 
-def render_bytes_table(title: str, rows, total_bytes: int, distinct: int, width: int | None = None) -> str:
-    w = (width or _width()) - 6
-    out = [f"\n{_BLUE}{title}{_RST}"]
+def _sent_table(
+    out: list[str], title: str, rows, total_bytes: int, distinct: int,
+    w: int, c: _Colors, limit: int,
+) -> None:
+    """print_sent_long (c/main.c:280-321): rows are (key, nbytes) rank order."""
+    m = w - 6
+    out.append(f"\n{c.blue}{title}{c.rst}\n")
     covered = 0
-    for r in rows:
-        key, nbytes, pct = r[0], int(r[1]), r[2]
+    for key, nbytes in rows:
+        pct = (nbytes / total_bytes) * 100 if total_bytes else 0.0
+        out.append(f"{str(key)[:m]:<{m}} {byte_format(nbytes):>12} {pct:.2f}%\n")
         covered += nbytes
-        out.append(f"{str(key)[:w]:<{w}} {byte_format(nbytes):>12} {pct:.2f}%")
-    cov_pct = covered / total_bytes * 100 if total_bytes else 0.0
-    footer_key = f"{byte_format(covered)}/{byte_format(total_bytes)}"
-    out.append(f"前100项占比\n{footer_key:<{w}} {distinct:12d} {cov_pct:.2f}%\n")
-    return "\n".join(out)
+    cov = (covered / total_bytes) * 100 if total_bytes else 0.0
+    buf = f"{byte_format(covered)}/{byte_format(total_bytes)}"
+    out.append(f"前{limit}项占比\n{buf:<{m}} {distinct:12d} {cov:.2f}%\n\n")
 
 
-def render_bad_code_section(status: str, hits: int, pct: float, rows, width: int | None = None) -> str:
-    w = width or _width()
-    out = [f"\n{_BLUE}状态码{int(status)},共{hits}次,占比{pct:.2f}%{_RST}"]
+def _code_section(
+    out: list[str], status: str, rows, section_total: int, total_lines: int,
+    distinct: int, w: int, c: _Colors, limit: int,
+) -> None:
+    """print_code_long (c/main.c:323-360). Header pct multiplies FIRST
+    ((100*total)/total_lines, c/main.c:332) unlike the row pct."""
+    hdr_pct = (100 * section_total) / total_lines if total_lines else 0.0
+    out.append(f"\n{c.blue}状态码{int(status)},共{section_total}次,占比{hdr_pct:.2f}%{c.rst}\n")
     covered = 0
-    for r in rows:
-        covered += r["cnt"]
-        out.append(f"{str(r['request'])[:w]:<{w}} {r['cnt']:6d} {r['pct_of_section']:.2f}%")
-    cov_pct = covered / hits * 100 if hits else 0.0
-    out.append(f"前100项占比\n{f'{covered}/{hits}':<{w}} {len(rows):6d} {cov_pct:.2f}%\n")
-    return "\n".join(out)
+    for key, cnt in rows:
+        pct = (cnt / section_total) * 100 if section_total else 0.0
+        out.append(f"{str(key)[:w]:<{w}} {cnt:6d} {pct:.2f}%\n")
+        covered += cnt
+    cov = (covered / section_total) * 100 if section_total else 0.0
+    buf = f"{covered}/{section_total}"
+    out.append(f"前{limit}项占比\n{buf:<{w}} {distinct:6d} {cov:.2f}%\n\n")
 
 
-def render_full_report(parsed: DataFrame, k: int = 100) -> str:
-    """Collect every report off one cached parsed DF and render the full
-    reference-ordered text report (c/main.c:499-523 print order)."""
-    from nginx_log_spark.reports.reports import (
-        REPORT_KEYS,
-        bad_code_breakdown,
-        bad_code_sections,
-        bytes_by_request,
-        top_counts,
-        totals,
+def render_from_fused(
+    fused_rows, k: int = 100, width: int | None = None, color: bool = True
+) -> str:
+    """The full reference-ordered report text from ONE collected
+    fused_reports/fused_reports_arrow result (c/main.c:485-523)."""
+    w = width or _width()
+    c = _Colors(color)
+    by_dim: dict[str, list] = {}
+    for r in fused_rows:
+        by_dim.setdefault(r["dim"], []).append(r)
+
+    ips = by_dim.get("top_ips", [])
+    total_lines = ips[0]["section_total"] if ips else 0
+    total_bytes = int(ips[0]["section_bytes"] or 0) if ips else 0
+    unique_ips = ips[0]["section_keys"] if ips else 0
+
+    out: list[str] = [
+        f"\n共计{c.blue}{total_lines}{c.rst}次访问\n"
+        f"发送总流量{c.green}{byte_format(total_bytes)}{c.rst}\n"
+        f"独立IP数{c.red}{unique_ips}{c.rst}\n"
+    ]
+    if total_lines < 1:
+        return "".join(out)
+
+    for dim in _PRINT_ORDER:
+        rows = sorted(
+            (r for r in by_dim.get(dim, []) if r["rn"] <= k),
+            key=lambda r: r["rn"],
+        )
+        distinct = rows[0]["section_keys"] if rows else 0
+        _stat_table(
+            out, REPORT_TITLES[dim], [(r["key"], r["cnt"]) for r in rows],
+            total_lines, distinct, w, c, k,
+        )
+
+    byt = sorted(
+        (r for r in by_dim.get("top_requests", []) if r["rn_bytes"] <= k),
+        key=lambda r: r["rn_bytes"],
+    )
+    distinct = byt[0]["section_keys"] if byt else 0
+    _sent_table(
+        out, REPORT_TITLES["bytes_by_request"],
+        [(r["key"], int(r["bytes"] or 0)) for r in byt],
+        total_bytes, distinct, w, c, k,
     )
 
-    parsed = parsed.cache()
-    try:
-        tot = totals(parsed).collect()[0]
-        total_lines = tot["total_lines"]
-        total_bytes = int(tot["total_bytes_sent"] or 0)
-        pieces = [render_header(tot)]
-        if total_lines < 1:
-            return "".join(pieces)
-        order = [
-            "top_ips",
-            "top_users",
-            "top_xff",
-            "top_requests",
-            "top_uas",
-            "top_referers",
-            "top_times",
-            "status_counts",
-        ]
-        # distinct-key counts for the footers (reference prints table size)
-        distincts = {
-            name: parsed.select(REPORT_KEYS[name]).distinct().count() for name in order
-        }
-        for name in order:
-            rows = top_counts(parsed, REPORT_KEYS[name], k).collect()
-            pieces.append(
-                render_count_table(REPORT_TITLES[name], rows, total_lines, distincts[name])
-            )
-        byt = bytes_by_request(parsed, k).collect()
-        n_req = distincts["top_requests"]
-        pieces.append(
-            render_bytes_table(REPORT_TITLES["bytes_by_request"], byt, total_bytes, n_req)
+    sections: dict[str, list] = {}
+    for r in by_dim.get("bad_code", []):
+        sections.setdefault(r["key"], []).append(r)
+    for status in sorted(sections, key=int):  # 0..998 array order, c/main.c:517
+        rows = sorted((r for r in sections[status] if r["rn"] <= k), key=lambda r: r["rn"])
+        _code_section(
+            out, status, [(r["key2"], r["cnt"]) for r in rows],
+            rows[0]["section_total"], total_lines, rows[0]["section_keys"], w, c, k,
         )
-        sections = bad_code_sections(parsed).collect()
-        detail = bad_code_breakdown(parsed, k).collect()
-        by_status: dict[str, list] = {}
-        for r in detail:
-            by_status.setdefault(r["status"], []).append(r)
-        for s in sections:
-            pieces.append(
-                render_bad_code_section(
-                    s["status"], s["hits"], s["pct"], by_status.get(s["status"], [])
-                )
-            )
-        return "\n".join(pieces)
-    finally:
-        parsed.unpersist()
+    return "".join(out)
+
+
+def render_full_report(
+    parsed: DataFrame, k: int = 100, width: int | None = None, color: bool = True
+) -> str:
+    """Render the report off a PARSED (valid-only) DataFrame: one fused
+    Spark job (reports.fused_reports — one scan, one shuffle), one collect."""
+    from nginx_log_spark.reports.reports import fused_reports
+
+    return render_from_fused(fused_reports(parsed, k).collect(), k, width, color)
+
+
+def render_report_from_sequences(
+    seq: DataFrame, k: int = 100, width: int | None = None, color: bool = True
+) -> str:
+    """Render straight off the tokenized sequences table via the fused
+    parse+partial-agg Arrow pass (reports.fused_reports_arrow) — the fastest
+    path: parse and aggregation share one scan, nothing but ~10^5-row
+    partials ever leaves the Python workers."""
+    from nginx_log_spark.reports.reports import fused_reports_arrow
+
+    return render_from_fused(fused_reports_arrow(seq, k).collect(), k, width, color)

@@ -152,9 +152,12 @@ def time_local_to_ts(col):
 
 
 def hourly_traffic(parsed: DataFrame) -> DataFrame:
-    """Requests + bytes per hour bucket (north-star hourly report)."""
+    """Requests + bytes per UTC hour bucket (north-star hourly report).
+    Rows with an unparseable time_local are dropped (the fused dim drops
+    null keys the same way, so the two APIs agree on any input)."""
     return (
         parsed.withColumn("ts", time_local_to_ts(F.col("time_local")))
+        .filter(F.col("ts").isNotNull())
         .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
         .agg(
             F.count(F.lit(1)).alias("hits"),
@@ -168,7 +171,12 @@ _FUSED_DIMS = [
     "top_ips", "top_users", "top_xff", "top_requests", "top_uas",
     "top_referers", "top_times", "status_counts", "hourly", "bad_code",
 ]
-_SEP = "\x01"  # never appears in parsed fields (bytes 0x01 can't survive parse delimiters)
+# bad_code composite key: status ++ SEP ++ request. status is ALWAYS exactly
+# 3 digits (the C gate, c/main.c:433-437), so the split back is positional
+# (substring 1-3 / 5-) — wrap-string fields like request may legally contain
+# \x01 (any byte but the closing quote survives, c/main.c:104), so splitting
+# AT the separator would truncate such requests.
+_SEP = "\x01"
 
 
 def fused_reports(parsed: DataFrame, k: int = TOP_K) -> DataFrame:
@@ -193,8 +201,13 @@ def fused_reports(parsed: DataFrame, k: int = TOP_K) -> DataFrame:
         F.col("remote_addr"), F.col("remote_user"), F.col("http_x_forwarded_for"),
         F.col("request"), F.col("http_user_agent"), F.col("http_referer"),
         F.col("time_local"), F.col("status"),
-        # hourly straight off the fixed-width time string ('dd/MMM/yyyy:HH')
-        F.substring(F.col("time_local"), 1, 14),
+        # hourly: UTC hour bucket, offset-aware like hourly_traffic (mixed
+        # timezone offsets fold into the same UTC hour); unparseable -> null
+        # -> dropped by the explode filter
+        F.date_format(
+            F.date_trunc("hour", time_local_to_ts(F.col("time_local"))),
+            "yyyy-MM-dd HH",
+        ),
         F.when(F.col("status") != "200",
                F.concat(F.col("status"), F.lit(_SEP), F.col("request"))),
     ]
@@ -209,8 +222,9 @@ def fused_reports(parsed: DataFrame, k: int = TOP_K) -> DataFrame:
     named = agg.select(
         F.element_at(F.array(*[F.lit(d) for d in _FUSED_DIMS]), F.col("dim_id") + 1).alias("dim"),
         F.col("dim_id"),
-        F.when(is_bad, F.split_part(F.col("key0"), F.lit(_SEP), F.lit(1))).otherwise(F.col("key0")).alias("key"),
-        F.when(is_bad, F.split_part(F.col("key0"), F.lit(_SEP), F.lit(2))).alias("key2"),
+        # positional split: status is exactly 3 digits (see _SEP note)
+        F.when(is_bad, F.substring(F.col("key0"), 1, 3)).otherwise(F.col("key0")).alias("key"),
+        F.when(is_bad, F.expr("substring(key0, 5)")).alias("key2"),
         F.col("key0"),
         "cnt",
         "bytes",
@@ -238,8 +252,9 @@ def _rank_partials(agg: DataFrame, k: int) -> DataFrame:
     named = agg.select(
         F.element_at(F.array(*[F.lit(d) for d in _FUSED_DIMS]), F.col("dim_id") + 1).alias("dim"),
         F.col("dim_id"),
-        F.when(is_bad, F.split_part(F.col("key0"), F.lit(_SEP), F.lit(1))).otherwise(F.col("key0")).alias("key"),
-        F.when(is_bad, F.split_part(F.col("key0"), F.lit(_SEP), F.lit(2))).alias("key2"),
+        # positional split: status is exactly 3 digits (see _SEP note)
+        F.when(is_bad, F.substring(F.col("key0"), 1, 3)).otherwise(F.col("key0")).alias("key"),
+        F.when(is_bad, F.expr("substring(key0, 5)")).alias("key2"),
         F.col("key0"),
         "cnt",
         "bytes",
@@ -254,6 +269,36 @@ def _rank_partials(agg: DataFrame, k: int) -> DataFrame:
         .filter((F.col("rn") <= k) | ((F.col("dim_id") == 3) & (F.col("rn_bytes") <= k)))
         .drop("key0")
     )
+
+
+# canonical combined-format time: 'dd/Mon/yyyy:HH:mm:ss +ZZZZ'
+_TIME_RE = (
+    r"^(?P<dt>[0-9]{2}/[A-Za-z]{3}/[0-9]{4}:[0-9]{2}:[0-9]{2}:[0-9]{2})"
+    r" (?P<sign>[+-])(?P<oh>[0-9]{2})(?P<om>[0-9]{2})$"
+)
+
+
+def _hour_key_arrow(tl):
+    """time_local utf8 array -> 'yyyy-MM-dd HH' UTC hour key (null if the
+    string isn't a canonical offset time) — the vectorized twin of the JVM
+    to_timestamp + date_trunc hourly dim."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    res = pc.extract_regex(tl, pattern=_TIME_RE)
+    # non-matching rows null the STRUCT but not its children — mask fields
+    ok = pc.is_valid(res)
+    null_s = pa.scalar(None, pa.string())
+    fld = lambda n: pc.if_else(ok, res.field(n), null_s)
+    dt = pc.strptime(fld("dt"), format="%d/%b/%Y:%H:%M:%S", unit="s",
+                     error_is_null=True)
+    off = pc.add(
+        pc.multiply(pc.cast(fld("oh"), pa.int64()), 3600),
+        pc.multiply(pc.cast(fld("om"), pa.int64()), 60),
+    )
+    off = pc.if_else(pc.equal(fld("sign"), "-"), pc.negate(off), off)
+    utc = pc.cast(pc.subtract(pc.cast(dt, pa.int64()), off), pa.timestamp("s"))
+    return pc.strftime(pc.floor_temporal(utc, unit="hour"), format="%Y-%m-%d %H")
 
 
 def fused_reports_arrow(seq: DataFrame, k: int = TOP_K, tokens_col: str = "tokens") -> DataFrame:
@@ -292,7 +337,7 @@ def fused_reports_arrow(seq: DataFrame, k: int = TOP_K, tokens_col: str = "token
                 parsed["http_x_forwarded_for"], parsed["request"],
                 parsed["http_user_agent"], parsed["http_referer"],
                 parsed["time_local"], parsed["status"],
-                pc.utf8_slice_codeunits(parsed["time_local"], 0, 14),
+                _hour_key_arrow(parsed["time_local"]),
                 pc.if_else(
                     pc.and_kleene(valid, pc.not_equal(parsed["status"], "200")),
                     pc.binary_join_element_wise(parsed["status"], parsed["request"], _SEP),

@@ -1,5 +1,7 @@
 from nginx_log_spark.route.router import (  # noqa: F401
     fan_out_write,
+    iceberg_catalog_available,
+    iceberg_fan_out,
     salted_count,
     split_rejects,
     with_status_class,

@@ -47,21 +47,22 @@ def stream_hourly_counts(seq_stream: DataFrame, watermark: str = "2 hours") -> D
 
 
 def stream_fan_out(seq_stream: DataFrame, out_base: str, checkpoint_dir: str):
-    """foreachBatch routing: each micro-batch goes through the SAME batch
-    fan-out writer (append mode), giving per-sink parquet dirs + rejects."""
-    from nginx_log_spark.route import split_rejects, with_status_class
+    """foreachBatch routing through the SAME single-scan batch fan-out
+    writer, partitioned by epoch with DYNAMIC partition overwrite.
+
+    Exactly-once effect: a micro-batch retried after a partial write (sink
+    failure, driver restart between write and checkpoint commit) REPLACES
+    its own epoch partitions instead of appending duplicates — the file
+    source replays a deterministic batch per epoch, so the rewrite converges.
+    Layout: {out}/sink=routed|rejects/status_class=…/source=…/epoch=N/.
+    """
+    from nginx_log_spark.route import fan_out_write
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        parsed = with_status_class(parse_sequences(batch_df))
-        accepted, rejects = split_rejects(parsed)
-        (
-            accepted.withColumn("epoch", F.lit(epoch_id))
-            .write.mode("append")
-            .partitionBy("status_class", "source")
-            .parquet(f"{out_base}/routed")
-        )
-        rejects.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(
-            f"{out_base}/rejects"
+        parsed = parse_sequences(batch_df).withColumn("epoch", F.lit(int(epoch_id)))
+        fan_out_write(
+            parsed, out_base, mode="overwrite",
+            extra_partition_cols=["epoch"], dynamic_overwrite=True,
         )
 
     return (

@@ -157,11 +157,66 @@ def test_fused_reports_match_individual(parsed, gold):
     assert ips.section_total.iloc[0] == t["total_lines"]
     assert ips.section_bytes.iloc[0] == t["total_bytes_sent"]
     assert ips.section_keys.iloc[0] == t["unique_ips"]
-    # hourly dim matches the timestamp-based report
-    f = fused[fused.dim == "hourly"]
-    ind = R.hourly_traffic(parsed).toPandas()
+    # hourly dim matches the timestamp-based report (keys AND counts)
+    f = fused[fused.dim == "hourly"].sort_values("key")
+    ind = R.hourly_traffic(parsed).toPandas().sort_values("hour")
     assert len(f) == len(ind)
-    assert sorted(f.cnt) == sorted(ind.hits)
+    assert list(f.key) == [h.strftime("%Y-%m-%d %H") for h in ind.hour]
+    assert list(f.cnt) == list(ind.hits)
+    assert list(f.bytes) == list(ind.bytes)
+
+
+def test_fused_hourly_mixed_offsets(spark):
+    """Lines with different timezone offsets that fall in the SAME UTC hour
+    must roll up together in the fused dim, the arrow dim, and
+    hourly_traffic (the round-1 fused dim bucketed local wall-clock)."""
+    from pyspark.sql import functions as F
+
+    from nginx_log_spark.parse import parse_sequences
+    from nginx_log_spark.parse.parser import encode_lines
+
+    lines = [
+        '10.0.0.1 - - [10/Oct/2000:13:55:36 +0000] "GET /a HTTP/1.1" 200 10 "" "u" ""',
+        '10.0.0.1 - - [10/Oct/2000:15:55:36 +0200] "GET /a HTTP/1.1" 200 10 "" "u" ""',
+        '10.0.0.1 - - [10/Oct/2000:08:25:36 -0530] "GET /a HTTP/1.1" 200 10 "" "u" ""',
+        '10.0.0.1 - - [10/Oct/2000:20:55:36 +0000] "GET /a HTTP/1.1" 200 10 "" "u" ""',
+    ]
+    df = spark.createDataFrame([(f"d{i}", ln, "s") for i, ln in enumerate(lines)],
+                               "doc_id string, line string, source string")
+    seq = df.select(
+        "doc_id", encode_lines(F.col("line")).alias("tokens"), "source"
+    ).withColumn("n_tok", F.size("tokens"))
+    parsed = parse_sequences(seq).filter(F.col("valid"))
+
+    exp = {"2000-10-10 13": 3, "2000-10-10 20": 1}
+    for fused_df in (R.fused_reports(parsed), R.fused_reports_arrow(seq)):
+        got = {
+            r["key"]: r["cnt"]
+            for r in fused_df.filter(F.col("dim") == "hourly").collect()
+        }
+        assert got == exp
+    ht = {r["hour"].strftime("%Y-%m-%d %H"): r["hits"]
+          for r in R.hourly_traffic(parsed).collect()}
+    assert ht == exp
+
+
+def test_fused_bad_code_sep_byte_in_request(spark):
+    """A request containing the \\x01 separator byte must survive the
+    bad_code key round-trip (positional split, not split-at-separator)."""
+    from pyspark.sql import functions as F
+
+    from nginx_log_spark.parse import parse_sequences
+    from nginx_log_spark.parse.parser import encode_lines
+
+    req = "GET /a\x01b HTTP/1.1"
+    line = f'10.0.0.1 - - [10/Oct/2000:13:55:36 +0000] "{req}" 404 10 "" "u" ""'
+    df = spark.createDataFrame([("d0", line, "s")], "doc_id string, line string, source string")
+    seq = df.select("doc_id", encode_lines(F.col("line")).alias("tokens"), "source")
+    parsed = parse_sequences(seq.withColumn("n_tok", F.size("tokens"))).filter(F.col("valid"))
+    rows = R.fused_reports(parsed).filter(F.col("dim") == "bad_code").collect()
+    assert len(rows) == 1
+    assert rows[0]["key"] == "404"
+    assert rows[0]["key2"] == req
 
 
 def test_fused_reports_arrow_matches_fused(spark):

@@ -60,7 +60,28 @@ def test_stream_fan_out_counts(spark, tmp_path):
     stream = read_sequence_stream(spark, src, max_files_per_trigger=2)
     q = stream_fan_out(stream, out, ckpt).start()
     q.awaitTermination(300)
-    routed = spark.read.parquet(f"{out}/routed")
-    rejects = spark.read.parquet(f"{out}/rejects")
+    routed = spark.read.parquet(f"{out}/sink=routed")
+    rejects = spark.read.parquet(f"{out}/sink=rejects")
     assert routed.count() + rejects.count() == N
     assert routed.select("doc_id").distinct().count() == routed.count()
+    # idempotent retry: re-writing one epoch's batch must not duplicate rows
+    from nginx_log_spark.parse import parse_sequences
+    from nginx_log_spark.route import fan_out_write
+
+    epoch0 = routed.select("epoch").distinct().orderBy("epoch").first()["epoch"]
+    replay_ids = {
+        r["doc_id"]
+        for r in routed.filter(F.col("epoch") == epoch0).select("doc_id").collect()
+    } | {
+        r["doc_id"]
+        for r in rejects.filter(F.col("epoch") == epoch0).select("doc_id").collect()
+    }
+    seq = spark.read.parquet(src)
+    replay = parse_sequences(seq.filter(F.col("doc_id").isin(list(replay_ids)))).withColumn(
+        "epoch", F.lit(int(epoch0))
+    )
+    fan_out_write(replay, out, mode="overwrite",
+                  extra_partition_cols=["epoch"], dynamic_overwrite=True)
+    routed2 = spark.read.parquet(f"{out}/sink=routed")
+    rejects2 = spark.read.parquet(f"{out}/sink=rejects")
+    assert routed2.count() + rejects2.count() == N  # no duplicates after replay
