@@ -582,7 +582,8 @@ _MINHASH_ORACLE = f"""
 WITH sig AS (SELECT doc_id, {_duck_minhash_cols()} FROM documents),
 bands AS (
   SELECT doc_id, b.band_idx, b.band_key FROM sig,
-  LATERAL (VALUES (0, mh0 || mh1), (1, mh2 || mh3), (2, mh4 || mh5), (3, mh6 || mh7))
+  LATERAL (VALUES (0, mh0 || '#' || mh1), (1, mh2 || '#' || mh3),
+                  (2, mh4 || '#' || mh5), (3, mh6 || '#' || mh7))
     AS b(band_idx, band_key)
 )
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -622,8 +623,26 @@ def docs_ngram_jaccard(spark, sf):
     return ngram_jaccard_pairs(_docs(spark, sf), shingle_k=5, threshold=0.2)
 
 
-@_register("docs_simhash16", None)  # bit-twiddling oracle omitted: rows-only check
+_SIMHASH_ORACLE = rf"""
+WITH h AS (
+  SELECT doc_id,
+    list_transform(string_split({_DUCK_NORM}, ' '),
+                   w -> ('0x' || substr(md5(w), 1, 4))::INT) AS hs
+  FROM documents
+)
+SELECT doc_id, CAST(list_sum([
+    CASE WHEN list_sum(list_transform(hs,
+            h -> CASE WHEN (h // (1 << b)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+         THEN (1 << b) ELSE 0 END
+    for b in range(0, 16)]) AS INT) AS simhash
+FROM h
+"""
+
+
+@_register("docs_simhash16", _SIMHASH_ORACLE)
 def docs_simhash16(spark, sf):
+    """16-bit sign-sum sketch; DuckDB recomputes the md5-derived word hashes
+    with ('0x'||substr(md5(w),1,4))::INT == Spark's conv(substr(md5,1,4),16,10)."""
     return simhash16(_docs(spark, sf))
 
 
@@ -650,31 +669,185 @@ def emb_cosine_topk(spark, sf):
     return cosine_topk(embs, list(q), k=10)
 
 
+# threshold 0.4: the synthetic fixture's densest pairs sit at cosine
+# 0.40-0.52, so the query is NON-vacuous (round 1 used 0.9 and passed with
+# 0 rows == 0 rows, proving nothing); true >=0.9 near-dup recall is covered
+# by tests/test_functions.py::test_neardup_bucketed_recall on planted dupes.
 _NEARDUP_ORACLE = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
   round({_duck_cosine('a.embedding', 'b.embedding')}, 6) AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE round({_duck_cosine('a.embedding', 'b.embedding')}, 6) >= 0.9
+WHERE round({_duck_cosine('a.embedding', 'b.embedding')}, 6) >= 0.4
 """
 
 
 @_register("emb_neardup_pairs", _NEARDUP_ORACLE)
 def emb_neardup(spark, sf):
-    return embedding_neardup_pairs(_embs(spark, sf), threshold=0.9, exact=True)
+    return embedding_neardup_pairs(_embs(spark, sf), threshold=0.4, exact=True)
 
 
-@_register("emb_lsh_ann", None)  # hyperplane sketch oracle omitted: rows-only
+def _duck_bucket(vec: str, n_planes: int = 6) -> str:
+    """Random-hyperplane sketch in DuckDB: ±1 weight = parity of the first
+    byte of md5('hp:p:d') — bit-identical to similarity._hyperplane."""
+    w = (
+        f"(CASE WHEN ('0x' || substr(md5('hp:' || p || ':' || d), 1, 2))::INT % 2 = 1 "
+        f"THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)"
+    )
+    dot = f"list_sum([{vec}[d + 1]::DOUBLE * {w} for d in range(0, len({vec}))])"
+    return (
+        f"list_sum([CASE WHEN {dot} > 0 THEN (1 << p) ELSE 0 END "
+        f"for p in range(0, {n_planes})])"
+    )
+
+
+_LSH_ANN_ORACLE = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+b AS (SELECT vec_id, embedding, {_duck_bucket('embedding', 6)} AS bucket
+      FROM embeddings),
+qb AS (SELECT bucket AS qbucket FROM b WHERE vec_id = 0)
+SELECT vec_id, round({_duck_cosine('embedding', 'qv')}, 6) AS cosine
+FROM b, q, qb
+WHERE bucket = qbucket
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+@_register("emb_lsh_ann", _LSH_ANN_ORACLE)
 def emb_lsh_ann(spark, sf):
     embs = _embs(spark, sf)
     q = embs.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     return lsh_ann_topk(embs, list(q), k=10, n_planes=6)
 
 
-@_register("mm_decode_meta", None)  # md5-derived ints not SQL-friendly: rows-only
+# SQL-reproducible synthetic media (see multimodal.synth_payload_text):
+# ASCII md5-chain payloads so DuckDB can rebuild payload bytes, checksum,
+# and the md5-derived fake metadata without md5(BLOB) support.
+_MEDIA_CTE = """
+WITH media AS (
+  SELECT i,
+    printf('m%05d', i) AS media_id,
+    ['image','audio','video'][(i % 3) + 1] AS media_type,
+    substr(array_to_string([md5('media:42:' || i || ':' || j) for j in range(0, 18)], ''),
+           1, 64 + (i * 37) % 512) AS payload,
+    CAST(64 + (i * 37) % 512 AS INT) AS n_bytes
+  FROM range(0, 64) t(i)
+)
+"""
+
+_DECODE_ORACLE = f"""
+{_MEDIA_CTE}, d AS (
+  SELECT media_id, media_type, n_bytes, md5(payload) AS checksum,
+         ('0x' || substr(md5(payload), 1, 8))::BIGINT AS hv
+  FROM media
+)
+SELECT media_id, media_type, n_bytes,
+  CAST(COALESCE(CASE WHEN media_type IN ('image', 'video') THEN 16 + hv % 4080 END, -1) AS INT) AS width,
+  CAST(COALESCE(CASE WHEN media_type IN ('image', 'video') THEN 16 + (hv // 4096) % 4080 END, -1) AS INT) AS height,
+  CAST(COALESCE(CASE WHEN media_type = 'video' THEN 1 + (hv // 16) % 240 END, -1) AS INT) AS n_frames,
+  checksum
+FROM d
+"""
+
+
+@_register("mm_decode_meta", _DECODE_ORACLE)
 def mm_decode_meta(spark, sf):
     from nginx_log_spark.functions.multimodal import decode_media, synth_media_df
 
-    return decode_media(synth_media_df(spark, 64), fake=True)
+    dec = decode_media(synth_media_df(spark, 64), fake=True)
+    # nullable-int metadata -> -1 sentinels: cross-engine null int dtypes
+    # (pandas Int32 vs float64) would break the driver's value hash
+    return dec.select(
+        "media_id", "media_type", "n_bytes",
+        F.coalesce("width", F.lit(-1)).cast("int").alias("width"),
+        F.coalesce("height", F.lit(-1)).cast("int").alias("height"),
+        F.coalesce("n_frames", F.lit(-1)).cast("int").alias("n_frames"),
+        "checksum",
+    )
+
+
+_FRAME_ORACLE = f"""
+{_MEDIA_CTE}, d AS (
+  SELECT media_id, media_type,
+         ('0x' || substr(md5(payload), 1, 8))::BIGINT AS hv
+  FROM media
+),
+v AS (SELECT media_id, CAST(1 + (hv // 16) % 240 AS INT) AS n
+      FROM d WHERE media_type = 'video')
+SELECT media_id,
+       CAST(unnest(generate_series(0, greatest(n - 1, 0), 10)) AS INT) AS frame_idx
+FROM v
+"""
+
+
+@_register("mm_frame_sample", _FRAME_ORACLE)
+def mm_frame_sample(spark, sf):
+    """Video frame-sampling plan over decoded n_frames (native explode)."""
+    from nginx_log_spark.functions.multimodal import (
+        decode_media,
+        frame_sample_plan,
+        synth_media_df,
+    )
+
+    dec = decode_media(synth_media_df(spark, 64), fake=True)
+    return frame_sample_plan(dec, every_n=10).select(
+        "media_id", F.col("frame_idx").cast("int").alias("frame_idx")
+    )
+
+
+def _feat_oracle_cols() -> str:
+    return ", ".join(
+        f"CAST(list_sum([CASE WHEN ascii(substr(payload, i, 1)) // 16 = {b} "
+        f"THEN 1 ELSE 0 END for i in range(1, n_bytes + 1)]) AS INT) AS h{b:02d}"
+        for b in range(16)
+    )
+
+
+_FEATURES_ORACLE = f"{_MEDIA_CTE} SELECT media_id, {_feat_oracle_cols()} FROM media"
+
+
+@_register("mm_extract_features", _FEATURES_ORACLE)
+def mm_extract_features(spark, sf):
+    """Byte-histogram feature extractor verified through exact integer
+    recovery: round(feature[b] * n_bytes) == the bucket count (float32
+    relative error ~2^-24 can't reach the 0.5 rounding boundary)."""
+    from nginx_log_spark.functions.multimodal import extract_features, synth_media_df
+
+    m = synth_media_df(spark, 64)
+    feats = extract_features(m).join(m.select("media_id", "n_bytes"), "media_id")
+    cols = [
+        F.round(F.get(F.col("feature"), b).cast("double") * F.col("n_bytes"))
+        .cast("int")
+        .alias(f"h{b:02d}")
+        for b in range(16)
+    ]
+    return feats.select("media_id", *cols)
+
+
+_WINNOW_ORACLE = r"""
+WITH n AS (
+  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS nrm
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+    list_sort([md5(substr(nrm, i, 8))
+               for i in range(1, greatest(length(nrm) - 7, 1) + 1)]) AS fps
+  FROM n
+)
+SELECT doc_id, fps[1] AS fp0, fps[2] AS fp1, fps[3] AS fp2, fps[4] AS fp3 FROM g
+"""
+
+
+@_register("docs_winnow_fp", _WINNOW_ORACLE)
+def docs_winnow_fp(spark, sf):
+    """Winnowing k-gram sketch: 4 smallest md5 8-gram hashes per doc."""
+    from nginx_log_spark.functions import winnow_fingerprints
+
+    wf = winnow_fingerprints(_docs(spark, sf), k=8, keep=4)
+    return wf.select(
+        "doc_id",
+        *[F.get(F.col("fingerprints"), j).alias(f"fp{j}") for j in range(4)],
+    )
 
 
 def queries() -> dict[str, QueryFn]:

@@ -9,6 +9,8 @@ from nginx_log_spark.functions.similarity import (  # noqa: F401
     cosine_topk,
     embedding_neardup_pairs,
     lsh_ann_topk,
+    lsh_ann_topk_prebucketed,
+    write_bucketed_embeddings,
 )
 from nginx_log_spark.functions.textstats import (  # noqa: F401
     doc_fingerprint,

@@ -76,10 +76,16 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n_hashes: int = 8,
     shingle_k: int = 5,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(id, minhash_0..n-1): per 'permutation' i, min over shingles of
-    md5(shingle || '#i') — md5 with distinct salts approximates independent
-    uniform permutations; the min is a valid MinHash. Pure JVM, no shuffle."""
+    hash(shingle, salt i) — distinct salts approximate independent uniform
+    permutations; the min is a valid MinHash. Pure JVM, no shuffle.
+
+    hash_fn: 'md5' (string minhash — reproducible verbatim in DuckDB, the
+    driver-oracle path) or 'xxhash64' (long minhash — Spark's native
+    codegen'd hash, ~3x cheaper; same LSH semantics, the 100 TB fast path).
+    """
     out = with_shingles(df.select(id_col, text_col), text_col, shingle_k).select(
         F.col(id_col), F.col("_sh")
     )
@@ -87,6 +93,8 @@ def minhash_signatures(
     # NB: one-arg lambdas only — pyspark dispatches on lambda arity, so a
     # captured `i=i` default would become the array-index lambda variable.
     def salted(i: int):
+        if hash_fn == "xxhash64":
+            return lambda s: F.xxhash64(s, F.lit(i))
         return lambda s: F.md5(F.concat(s, F.lit(f"#{i}")))
 
     for i in range(n_hashes):
@@ -118,8 +126,14 @@ def lsh_candidate_pairs(
         *[
             F.struct(
                 F.lit(b).alias("band_idx"),
-                F.concat(
-                    *[F.col(f"minhash_{b * band_size + j}") for j in range(band_size)]
+                # concat_ws so long (xxhash64) and string (md5) signatures
+                # both band correctly; '#' keeps the key injective
+                F.concat_ws(
+                    "#",
+                    *[
+                        F.col(f"minhash_{b * band_size + j}").cast("string")
+                        for j in range(band_size)
+                    ],
                 ).alias("band_key"),
             )
             for b in range(n_bands)
@@ -179,17 +193,34 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 5,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing >=1 shingle.
 
     explode(shingles) -> self equi-join on shingle -> count common ->
     |A∪B| = |A|+|B|-common. Scale note: feed this the LSH candidates, not
-    the raw corpus, when n is large — the shingle join is |pairs|-bounded."""
+    the raw corpus, when n is large — the shingle join is |pairs|-bounded.
+
+    ``max_df``: drop shingles whose DOCUMENT FREQUENCY exceeds this before
+    the self-join. A stop-shingle shared by all N docs contributes N^2/2
+    join rows — the same accidental-cross-join failure mode lsh's
+    max_bucket guards; a shingle in >max_df docs is non-discriminative.
+    NB: exact Jaccard is only preserved for pairs whose shared shingles are
+    all below the cap; with max_df set, treat the result as a high-recall
+    candidate score (standard practice for boilerplate-heavy corpora)."""
     sh = with_shingles(df.select(id_col, text_col), text_col, shingle_k).select(
         F.col(id_col), F.col("_sh")
     )
     sizes = sh.select(id_col, F.size("_sh").alias("_n"))
     ex = sh.select(id_col, F.explode("_sh").alias("_s"))
+    if max_df is not None:
+        rare = (
+            ex.groupBy("_s")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
+        )
+        ex = ex.join(rare, "_s", "left_semi")
     a, b = ex.alias("a"), ex.alias("b")
     common = (
         a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))

@@ -129,13 +129,27 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     )
 
 
+def synth_payload_text(i: int, seed: int = 42) -> str:
+    """Deterministic ASCII payload: an md5 hex chain truncated to
+    64 + (i*37) % 512 chars. ASCII-only on purpose — DuckDB's md5() takes
+    VARCHAR, not BLOB, so an ASCII payload lets the driver's oracle rebuild
+    payload, checksum, and metadata in plain SQL (see
+    driver_queries._MEDIA_CTE)."""
+    import hashlib
+
+    size = 64 + (i * 37) % 512
+    chunks = []
+    for j in range((size + 31) // 32):
+        chunks.append(hashlib.md5(f"media:{seed}:{i}:{j}".encode()).hexdigest())
+    return "".join(chunks)[:size]
+
+
 def synth_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for tests (payload = seeded bytes)."""
-    rng = np.random.default_rng(seed)
+    """Deterministic fake media table for tests and the driver oracle."""
     types = ["image", "audio", "video"]
     rows = []
     for i in range(n):
-        payload = rng.integers(0, 256, size=64 + (i * 37) % 512, dtype=np.uint8).tobytes()
+        payload = synth_payload_text(i, seed).encode("ascii")
         rows.append(
             {
                 "media_id": f"m{i:05d}",

@@ -82,19 +82,69 @@ def lsh_ann_topk(
     the bucket becomes a partition filter => partition pruning at the scan.
     """
     dims = len(query_vec)
-    import numpy as np
-
-    qv = np.asarray(query_vec, dtype=np.float64)
+    # sequential left-fold, NOT numpy dot: bit-parity with Spark's
+    # F.aggregate fold and DuckDB's list_sum on sign-threshold edge cases
     qbucket = 0
     for p in range(n_planes):
-        w = np.asarray([_hyperplane(p, d) for d in range(dims)])
-        if float(qv @ w) > 0:
+        acc = 0.0
+        for d in range(dims):
+            acc += float(query_vec[d]) * _hyperplane(p, d)
+        if acc > 0:
             qbucket |= 1 << p
     bucketed = df.withColumn("_bucket", sketch_col(F.col(vec_col), dims, n_planes))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     sim = cosine_sim(F.col(vec_col).cast("array<double>"), q)
     return (
         bucketed.filter(F.col("_bucket") == qbucket)
+        .select(F.col(id_col), F.round(sim, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def write_bucketed_embeddings(
+    df: DataFrame,
+    path: str,
+    dims: int,
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    mode: str = "overwrite",
+) -> str:
+    """Materialize the LSH index: sketch once, write PARTITIONED BY the
+    bucket. At 100 TB this is the whole point of the sketch — each ANN
+    query then reads exactly one partition directory (partition pruning at
+    the scan), instead of re-sketching the full table per query."""
+    bucketed = df.withColumn("_bucket", sketch_col(F.col(vec_col), dims, n_planes))
+    bucketed.write.mode(mode).partitionBy("_bucket").parquet(path)
+    return path
+
+
+def lsh_ann_topk_prebucketed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 6,
+) -> DataFrame:
+    """ANN over a pre-bucketed table: the bucket predicate is a PARTITION
+    filter — Spark prunes every other bucket's files at planning time, so
+    the scan cost is |bucket|, not |table| (verify via
+    .explain: PartitionFilters [(_bucket = N)])."""
+    dims = len(query_vec)
+    qbucket = 0
+    for p in range(n_planes):
+        acc = 0.0
+        for d in range(dims):
+            acc += float(query_vec[d]) * _hyperplane(p, d)
+        if acc > 0:
+            qbucket |= 1 << p
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_sim(F.col(vec_col).cast("array<double>"), q)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("_bucket") == qbucket)
         .select(F.col(id_col), F.round(sim, 6).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)

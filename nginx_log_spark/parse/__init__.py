@@ -2,6 +2,7 @@ from nginx_log_spark.parse.arrow_parser import (  # noqa: F401
     STRICT_PATTERN,
     parse_lines_arrow,
     parse_sequences_arrow,
+    parse_tier_stats,
 )
 from nginx_log_spark.parse.parser import (  # noqa: F401
     CORE_PATTERN,

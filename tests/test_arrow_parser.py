@@ -49,6 +49,60 @@ def test_two_tier_scalar_fuzz_matches_oracle():
         assert _norm(parse_line_py(s)) == _norm(oracle.parse_line(s)), repr(s)
 
 
+def test_two_tier_full_byte_range_fuzz_matches_oracle():
+    """Round-2 hardening: the reference consumes raw bytes 0x01-0xFF
+    (c/main.c:407 fgets); the printable-alphabet fuzz above can't prove the
+    RE2 strict tier and the combinator oracle agree on high/control bytes.
+    Mutate over the FULL byte range (latin-1 round-trip; \\n and \\0 excluded
+    — line framing and strlen() make them unrepresentable in one line)."""
+    rnd = random.Random(99)
+    alphabet = [chr(b) for b in range(1, 256) if b != 10]
+    base = (
+        '1.2.3.4 - - [10/Oct/2000:13:55:36 -0700] "GET /a HTTP/1.1" 200 2326 '
+        '"http://r/" "Mozilla (X11; Linux)" "-"'
+    )
+    for _ in range(30000):
+        s = base
+        for _ in range(rnd.randint(1, 5)):
+            p = rnd.randrange(len(s))
+            op = rnd.random()
+            if op < 0.4:
+                s = s[:p] + rnd.choice(alphabet) + s[p + 1 :]
+            elif op < 0.7:
+                s = s[:p] + s[p + 1 :]
+            else:
+                s = s[:p] + rnd.choice(alphabet) + s[p:]
+        assert _norm(parse_line_py(s)) == _norm(oracle.parse_line(s)), repr(s)
+
+
+def test_full_byte_range_batch_matches_scalar():
+    """The SAME full-byte-range lines through the Arrow batch path (binary
+    arrays + RE2 bytes mode + latin-1 fallback) == the scalar two-tier."""
+    rnd = random.Random(7)
+    alphabet = [chr(b) for b in range(1, 256) if b != 10]
+    base = (
+        '1.2.3.4 - - [10/Oct/2000:13:55:36 -0700] "GET /a HTTP/1.1" 200 2326 '
+        '"http://r/" "Mozilla (X11; Linux)" "-"'
+    )
+    lines = []
+    for _ in range(4000):
+        s = base
+        for _ in range(rnd.randint(1, 4)):
+            p = rnd.randrange(len(s))
+            s = s[:p] + rnd.choice(alphabet) + s[p + 1 :]
+        lines.append(s)
+    binary = pa.array([s.encode("latin-1") for s in lines], type=pa.binary())
+    out = _parse_binary_lines(binary)
+    for i, s in enumerate(lines):
+        exp = parse_line_py(s)
+        assert out["valid"][i].as_py() == (exp is not None), repr(s)
+        if exp is not None:
+            for name, arr in out.items():
+                if name == "valid":
+                    continue
+                assert arr[i].as_py() == exp[name], (name, repr(s))
+
+
 def test_strict_tier_is_subset_of_oracle_accepts():
     """Every STRICT match must be oracle-accepted with identical values
     (the load-bearing property: RE2 can't emulate the exact parser, so the
@@ -138,6 +192,27 @@ def test_parse_lines_arrow(spark):
     assert (
         out.request.fillna(NULL) == g.exp_request.where(g.valid).fillna(NULL)
     ).all()
+
+
+def test_parse_tier_stats(spark):
+    """Telemetry: strict/fallback/reject counts match the golden fixture
+    (the non-strict share must be visible, not silently 50x slower)."""
+    import re
+
+    from nginx_log_spark.parse import parse_tier_stats
+    from nginx_log_spark.parse.arrow_parser import STRICT_PATTERN
+
+    n = 5000
+    seq = loggen.sequences_df(spark, n, partitions=4)
+    row = parse_tier_stats(seq).collect()[0]
+    g = loggen.golden_pandas(n)
+    strict = re.compile(STRICT_PATTERN)
+    exp_strict = int(g.line.map(lambda s: strict.match(s) is not None).sum())
+    exp_valid = int(g.valid.sum())
+    assert row["n_rows"] == n
+    assert row["n_strict"] == exp_strict
+    assert row["n_strict"] + row["n_fallback_ok"] == exp_valid
+    assert row["n_reject"] == n - exp_valid
 
 
 def test_high_bytes_transcode():

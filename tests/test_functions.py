@@ -71,6 +71,23 @@ def test_minhash_lsh_finds_near_dupes(spark, docs):
     assert recall > 0.9, f"LSH recall too low: {recall}"
 
 
+def test_minhash_xxhash64_fast_path(spark, docs):
+    """The xxhash64 signature path finds the same planted near-dups as the
+    md5 path (same LSH semantics, native hash)."""
+    base = docs.limit(50)
+    dup = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    alld = base.select("doc_id", "text").union(dup)
+    sigs = minhash_signatures(alld, n_hashes=8, shingle_k=5, hash_fn="xxhash64")
+    assert dict(sigs.dtypes)["minhash_0"] == "bigint"
+    pairs = lsh_candidate_pairs(sigs, n_hashes=8, band_size=2).toPandas()
+    found = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    want = {(r[0], r[0] + 100000) for r in base.select("doc_id").collect()}
+    assert len(found & want) / len(want) > 0.9
+
+
 def test_simhash_close_for_near_dupes(spark, docs):
     base = docs.limit(20).select("doc_id", "text")
     dup = base.select((F.col("doc_id") + 100000).alias("doc_id"),
@@ -113,6 +130,71 @@ def test_lsh_ann_subset_of_bucket(spark, embs):
     ann = lsh_ann_topk(embs, q, k=5, n_planes=4).toPandas()
     assert len(ann) >= 1
     assert int(ann.vec_id.iloc[0]) == int(rows[0]["vec_id"])  # finds itself
+
+
+def test_ngram_max_df_caps_degenerate_corpus(spark):
+    """One shingle shared by ALL docs must not explode the self-join:
+    with max_df the stop-shingle drops before the join and the pair count
+    is bounded by genuinely-shared rare shingles."""
+    n = 400
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(n),
+            # every doc contains the boilerplate 'aaaaa' stop-shingle,
+            # plus a unique tail; docs i and i+1 share a rare shingle
+            "text": [f"aaaaa {'xy' * 3}{i // 2:04d} unique{i:05d}" for i in range(n)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    uncapped_join_rows = n * (n - 1) / 2  # what the stop-shingle alone emits
+    out = ngram_jaccard_pairs(df, shingle_k=5, threshold=0.0, max_df=10).toPandas()
+    assert len(out) < uncapped_join_rows / 10
+    # the genuinely-similar neighbor pairs survive the cap
+    found = set(zip(out.id_a, out.id_b))
+    want = {(2 * k, 2 * k + 1) for k in range(n // 2)}
+    assert want <= found
+
+
+def test_neardup_bucketed_recall(spark, embs):
+    """Planted >=0.95-cosine near-duplicates: the bucketed exact=False path
+    must recover most of what the exact all-pairs path finds."""
+    base = embs.limit(80).select("vec_id", "embedding")
+    dup = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x, i: x + F.when(i == 0, F.lit(0.01)).otherwise(F.lit(0.0))
+        ).alias("embedding"),
+    )
+    alld = base.union(dup)
+    exact = embedding_neardup_pairs(alld, threshold=0.95, exact=True).toPandas()
+    want = {(r.id_a, r.id_b) for r in exact.itertuples()}
+    assert len(want) >= 80  # every planted dup qualifies
+    bucketed = embedding_neardup_pairs(alld, threshold=0.95, exact=False, n_planes=4).toPandas()
+    found = {(r.id_a, r.id_b) for r in bucketed.itertuples()}
+    assert found <= want  # bucketed path returns no false pairs
+    recall = len(found & want) / len(want)
+    assert recall >= 0.95, f"bucketed near-dup recall too low: {recall}"
+
+
+def test_lsh_ann_prebucketed_prunes_partitions(spark, embs, tmp_path):
+    """The materialized-index path: write partitioned by the sketch, query
+    one bucket, assert (a) results == the sketch-per-query path, (b) the
+    scan plan prunes to the query's partition."""
+    from nginx_log_spark.functions import (
+        lsh_ann_topk_prebucketed,
+        write_bucketed_embeddings,
+    )
+
+    q = list(embs.filter(F.col("vec_id") == 0).first()["embedding"])
+    path = str(tmp_path / "emb_bucketed")
+    write_bucketed_embeddings(embs, path, dims=len(q), n_planes=4)
+    pre = lsh_ann_topk_prebucketed(spark, path, q, k=10, n_planes=4)
+    live = lsh_ann_topk(embs, q, k=10, n_planes=4).toPandas()
+    got = pre.toPandas()
+    assert list(got.vec_id) == list(live.vec_id)
+    assert list(got.cosine) == list(live.cosine)
+    plan = pre._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_bucket" in plan.split("PartitionFilters")[1][:200]
 
 
 def test_embedding_neardup_exact(spark):
