@@ -226,7 +226,7 @@ def run_bench() -> dict:
     for group in ("parse", "enrich_route", "ops"):
         env = dict(os.environ)
         env.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "64")
-        env.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", "8388608")
+        env.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", "67108864")
         payload = _run_child(["--group-child", group], env=env)
         queries.update(payload.pop("queries"))
         runs.update(payload.pop("runs", {}))
@@ -387,7 +387,7 @@ def run_scaling(n_small: int = 8) -> dict:
             SPARK_GRAFT_BENCH_ROWS=str(SCALING_ROWS),
             SPARK_GRAFT_SEQ_CACHE=cache,
             SPARK_GRAFT_SHUFFLE_PARTITIONS="64",
-            SPARK_GRAFT_MAX_PARTITION_BYTES="8388608",
+            SPARK_GRAFT_MAX_PARTITION_BYTES="67108864",
         )
         # pin the whole child (JVM + python workers) to exactly `cpus`
         # cores — local[N] alone still lets the JVM feed threads borrow

@@ -22,6 +22,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("path", help="raw log file, sequences parquet dir/file, or - for stdin")
     ap.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
     ap.add_argument("--top", type=int, default=100)
+    ap.add_argument("--width", type=int, default=None,
+                    help="key column width (default: terminal width - 16, like the C tool)")
+    ap.add_argument("--no-color", action="store_true", help="strip ANSI colors")
+    ap.add_argument("--no-echo", action="store_true",
+                    help="skip the stderr echo of rejected lines")
     args = ap.parse_args(argv)
 
     from nginx_log_spark.parse import parse_lines, parse_sequences
@@ -45,11 +50,17 @@ def main(argv: list[str] | None = None) -> int:
     # stderr echo of rejected lines, c/main.c:480-483 (doc_id for token input).
     # toLocalIterator streams one partition at a time — bounded driver memory
     # even when most of a huge input is rejected (the reference streams too).
-    echo_col = "line" if "line" in parsed.columns else "doc_id"
-    for r in parsed.filter(~F.col("valid")).select(echo_col).toLocalIterator():
-        print(r[0], file=sys.stderr)
+    if not args.no_echo:
+        echo_col = "line" if "line" in parsed.columns else "doc_id"
+        for r in parsed.filter(~F.col("valid")).select(echo_col).toLocalIterator():
+            print(r[0], file=sys.stderr)
 
-    sys.stdout.write(render_full_report(parsed.filter(F.col("valid")), k=args.top))
+    sys.stdout.write(
+        render_full_report(
+            parsed.filter(F.col("valid")), k=args.top,
+            width=args.width, color=not args.no_color,
+        )
+    )
     sys.stdout.flush()
     spark.stop()
     return 0

@@ -251,6 +251,30 @@ def log_parse_extended(spark, sf):
     )
 
 
+def _tier_oracle() -> str:
+    from nginx_log_spark.parse.arrow_parser import STRICT_PATTERN
+
+    m = f"regexp_matches(line, '{STRICT_PATTERN}')"
+    return f"""{_CTE} SELECT COUNT(*) AS n_rows,
+        CAST(SUM(CASE WHEN {m} THEN 1 ELSE 0 END) AS BIGINT) AS n_strict,
+        CAST(SUM(CASE WHEN valid AND NOT {m} THEN 1 ELSE 0 END) AS BIGINT) AS n_fallback_ok,
+        CAST(SUM(CASE WHEN NOT valid THEN 1 ELSE 0 END) AS BIGINT) AS n_reject
+        FROM logs"""
+
+
+@_register("log_parse_tier_stats", _tier_oracle())
+def log_parse_tier_stats(spark, sf):
+    """Parser-tier telemetry: strict (RE2) vs exact-fallback vs reject row
+    counts. DuckDB evaluates the SAME RE2 pattern on the rendered lines —
+    both engines embed RE2, so the strict-tier split is directly checkable."""
+    from nginx_log_spark.parse import parse_tier_stats
+
+    seq = parity.events_with_log_columns(spark, sf).select(
+        "doc_id", "tokens", "n_tok", "source"
+    )
+    return parse_tier_stats(seq)
+
+
 @_register("log_salted_topk", _top_oracle("remote_addr", 20))
 def log_salted_topk(spark, sf):
     """Skew-safe two-phase salted aggregation == plain aggregation."""
