@@ -874,6 +874,174 @@ def docs_winnow_fp(spark, sf):
     )
 
 
+# ===========================================================================
+# training-data ops II: sequence packing, deterministic sampling, token vocab
+# ===========================================================================
+
+_PACK_L = 512
+
+_PACK_O = f"""{_CTE},
+o AS (SELECT doc_id, line, CAST(substr(doc_id, 2) AS BIGINT) AS id,
+             CAST(length(line) AS BIGINT) AS n_tok FROM logs),
+o2 AS (SELECT doc_id, n_tok,
+  CAST(COALESCE(SUM(n_tok) OVER (ORDER BY id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+  AS "offset" FROM o)
+SELECT doc_id, n_tok, "offset",
+       "offset" // {_PACK_L} AS chunk_first,
+       greatest("offset" + n_tok - 1, "offset") // {_PACK_L} AS chunk_last
+FROM o2"""
+
+
+def _log_seq_with_id(spark, sf):
+    """The input-hint-shaped sequence table + its numeric order key."""
+    return (
+        parity.events_with_log_columns(spark, sf)
+        .select("doc_id", "tokens", "n_tok", "source")
+        .withColumn("_id", F.expr("cast(substring(doc_id, 2) as long)"))
+    )
+
+
+@_register("seq_pack_offsets", _PACK_O)
+def seq_pack_offsets(spark, sf):
+    """Concat-and-chunk packing offsets via the scalable two-level prefix
+    sum (functions/packing.py) — checked against a flat SQL window cumsum."""
+    from nginx_log_spark.functions import pack_offsets
+
+    out = pack_offsets(_log_seq_with_id(spark, sf), "_id", F.expr("_id div 1000"), _PACK_L)
+    return out.select(
+        "doc_id", F.col("n_tok").cast("long").alias("n_tok"),
+        "offset", "chunk_first", "chunk_last",
+    )
+
+
+_PACK_C = f"""{_CTE},
+o AS (SELECT doc_id, line, CAST(substr(doc_id, 2) AS BIGINT) AS id,
+             CAST(length(line) AS BIGINT) AS n_tok FROM logs),
+o2 AS (SELECT doc_id, line,
+  CAST(COALESCE(SUM(n_tok) OVER (ORDER BY id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+  AS off FROM o),
+ch AS (SELECT doc_id, (off + i - 1) // {_PACK_L} AS chunk_id,
+              ascii(substr(line, i, 1)) AS tok
+       FROM (SELECT doc_id, line, off,
+                    unnest(range(1, length(line) + 1)) AS i FROM o2))
+SELECT chunk_id, CAST(COUNT(*) AS BIGINT) AS n_filled,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS token_sum
+FROM ch GROUP BY chunk_id"""
+
+
+@_register("seq_pack_chunks", _PACK_C)
+def seq_pack_chunks(spark, sf):
+    """Packed fixed-length training examples, verified through per-chunk
+    (length, doc-span, exact token sum) against a character-level SQL
+    recomputation of the whole concat stream."""
+    from nginx_log_spark.functions import chunk_stats, pack_chunks, pack_offsets
+
+    offs = pack_offsets(_log_seq_with_id(spark, sf), "_id", F.expr("_id div 1000"), _PACK_L)
+    st = chunk_stats(pack_chunks(offs, _PACK_L))
+    return st.select(
+        "chunk_id", F.col("n_filled").cast("long").alias("n_filled"),
+        "n_docs", "token_sum",
+    )
+
+
+_VOCAB_O = f"""{_CTE}
+SELECT ascii(substr(line, i, 1)) AS token, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (SELECT line, unnest(range(1, length(line) + 1)) AS i FROM logs)
+GROUP BY token"""
+
+
+@_register("log_token_vocab", _VOCAB_O)
+def log_token_vocab(spark, sf):
+    """Global token-id frequency via per-partition bincount partials (no
+    token-volume shuffle) — the map-side-combine proof for the token dim."""
+    from nginx_log_spark.parse import token_histogram
+
+    seq = parity.events_with_log_columns(spark, sf).select("tokens")
+    return token_histogram(seq)
+
+
+def _u_sql(key_sql: str, seed: str) -> str:
+    return (
+        f"(('0x' || substr(md5('{seed}' || {key_sql}), 1, 8))::BIGINT"
+        f" / 4294967296.0)"
+    )
+
+
+@_register(
+    "docs_sample_hash",
+    "SELECT doc_id, source FROM documents WHERE "
+    + _u_sql("CAST(doc_id AS VARCHAR)", "r2")
+    + " < 0.2",
+)
+def docs_sample_hash(spark, sf):
+    """Deterministic Bernoulli sample: pure (key, seed) hash predicate —
+    same membership on any cluster size / engine."""
+    from nginx_log_spark.functions import hash_sample
+
+    return hash_sample(_docs(spark, sf), 0.2, "doc_id", seed="r2").select(
+        "doc_id", "source"
+    )
+
+
+_STRAT_RATES = {f"src{k}": ((k * 7) % 10) / 10.0 for k in range(20)}
+_STRAT_CASE = (
+    "CASE source "
+    + " ".join(f"WHEN '{s}' THEN {r}" for s, r in sorted(_STRAT_RATES.items()))
+    + " ELSE 0.0 END"
+)
+
+
+@_register(
+    "docs_sample_stratified",
+    "SELECT doc_id, source FROM documents WHERE "
+    + _u_sql("CAST(doc_id AS VARCHAR)", "st")
+    + f" < ({_STRAT_CASE})",
+)
+def docs_sample_stratified(spark, sf):
+    """Per-source mixture sampling (training-data recipe weights) via a
+    broadcast rate table + the same hash uniform."""
+    from nginx_log_spark.functions import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf), _STRAT_RATES, "source", "doc_id", seed="st"
+    ).select("doc_id", "source")
+
+
+@_register(
+    "docs_train_val_split",
+    "SELECT doc_id, CASE WHEN "
+    + _u_sql("CAST(doc_id AS VARCHAR)", "sp")
+    + " < 0.25 THEN 'val' ELSE 'train' END AS split FROM documents",
+)
+def docs_train_val_split(spark, sf):
+    """Disjoint/exhaustive/deterministic split assignment (randomSplit is
+    partition-order-dependent; this is not)."""
+    from nginx_log_spark.functions import train_val_split
+
+    return train_val_split(_docs(spark, sf), 0.25, "doc_id", seed="sp").select(
+        "doc_id", "split"
+    )
+
+
+@_register(
+    "docs_shuffle_rank",
+    "SELECT doc_id, md5('sh' || CAST(doc_id AS VARCHAR)) AS shuffle_key, "
+    "CAST(row_number() OVER (ORDER BY md5('sh' || CAST(doc_id AS VARCHAR)))"
+    " - 1 AS BIGINT) AS shuffle_rank FROM documents",
+)
+def docs_shuffle_rank(spark, sf):
+    """Reproducible global shuffle order with EXACT global rank — the rank
+    reuses the two-level prefix sum with the hash's first byte as bucket
+    (uniform + monotone), so no single-partition row_number anywhere."""
+    from nginx_log_spark.functions import deterministic_shuffle
+
+    det = deterministic_shuffle(_docs(spark, sf), "doc_id", seed="sh", rank=True)
+    return det.select("doc_id", "shuffle_key", "shuffle_rank")
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

@@ -12,6 +12,19 @@ from nginx_log_spark.functions.similarity import (  # noqa: F401
     lsh_ann_topk_prebucketed,
     write_bucketed_embeddings,
 )
+from nginx_log_spark.functions.packing import (  # noqa: F401
+    chunk_stats,
+    deterministic_shuffle,
+    pack_chunks,
+    pack_offsets,
+)
+from nginx_log_spark.functions.sampling import (  # noqa: F401
+    hash_sample,
+    hash_uniform,
+    sample_oracle_pred,
+    stratified_sample,
+    train_val_split,
+)
 from nginx_log_spark.functions.textstats import (  # noqa: F401
     doc_fingerprint,
     lang_id_col,

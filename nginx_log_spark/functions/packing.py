@@ -1,0 +1,213 @@
+"""Sequence packing for LLM training pipelines: concatenate token sequences
+in a deterministic global order and chunk into fixed-length training
+examples (GPT-style "concat and chunk").
+
+Scale design (the whole point at 10^12 sequences):
+
+* A naive global ``row_number()/sum() OVER (ORDER BY ...)`` window plans a
+  SINGLE-partition sort — a non-starter at scale. ``pack_offsets`` instead
+  computes the global token prefix-sum in TWO levels:
+
+    1. bucket level: ``groupBy(bucket)`` -> per-bucket token totals
+       (#buckets rows, ~10^3-10^5), cumsum'd with a window over that TINY
+       frame, broadcast-joined back;
+    2. row level: cumsum within each bucket (``Window.partitionBy(bucket)``)
+       — shuffles the data once by bucket and sorts each bucket in
+       parallel.
+
+  The bucket expression must be MONOTONE NON-DECREASING in the global
+  order key (e.g. ``id div 10^6`` for a numeric id, or the day partition
+  of a time-ordered log) — that is what makes bucket-base + local-offset
+  equal the global prefix sum.
+
+* ``pack_chunks`` never materializes the concatenated stream: each doc
+  explodes into only the chunks it overlaps (≤ n_tok/max_len + 1 spans),
+  slices JVM-side (``F.slice``), and one shuffle by chunk_id reassembles
+  fixed-length examples. Shuffle volume = token volume, no skew (chunk
+  sizes are uniform by construction).
+
+Reference tie-in: the reference engine (suconghou/nginx_log) has no
+packing operator — this is part of the training-data surface grafted on
+top of its tokenized-sequence input shape (BASELINE.json input_hint:
+``doc_id, tokens:array<int32>, n_tok, source``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_offsets(
+    df: DataFrame,
+    order_col: Column | str,
+    bucket_col: Column | str,
+    max_len: int,
+    n_tok_col: str = "n_tok",
+) -> DataFrame:
+    """Global token offset of every sequence under the deterministic order.
+
+    Adds:
+      * ``offset``      — tokens preceding this doc in the concat stream
+      * ``chunk_first`` — first max_len-chunk this doc lands in
+      * ``chunk_last``  — last chunk this doc overlaps (== chunk_first for
+                          empty docs)
+
+    ``order_col`` must be a total order (unique key); ``bucket_col`` must be
+    monotone non-decreasing in it. Plan shape: one data shuffle (by bucket)
+    + one tiny bucket-level aggregate; no single-partition window over the
+    data.
+    """
+    order = F.col(order_col) if isinstance(order_col, str) else order_col
+    bucket = F.col(bucket_col) if isinstance(bucket_col, str) else bucket_col
+    n_tok = F.col(n_tok_col).cast("long")
+
+    with_b = df.withColumn("_pk_bucket", bucket)
+    # level 1: per-bucket totals -> cumulative base. #buckets rows only, so
+    # the ORDER BY window here is over a frame that fits on one core anyway.
+    btot = with_b.groupBy("_pk_bucket").agg(F.sum(n_tok).alias("_pk_btok"))
+    wb = Window.orderBy("_pk_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    base = btot.select(
+        "_pk_bucket",
+        F.coalesce(F.sum("_pk_btok").over(wb), F.lit(0)).alias("_pk_base"),
+    )
+    # level 2: within-bucket running sum, parallel across buckets.
+    wr = Window.partitionBy("_pk_bucket").orderBy(order).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    out = (
+        with_b.join(F.broadcast(base), "_pk_bucket")
+        .withColumn(
+            "offset",
+            (F.col("_pk_base") + F.coalesce(F.sum(n_tok).over(wr), F.lit(0))).cast(
+                "long"
+            ),
+        )
+        # `div` = exact integer division (a double quotient loses exactness
+        # past 2^53 — reachable in a 10^12-sequence token stream)
+        .withColumn("chunk_first", F.expr(f"offset div {max_len}"))
+        .withColumn(
+            "chunk_last",
+            F.expr(
+                f"greatest(offset + cast({n_tok_col} as long) - 1, offset)"
+                f" div {max_len}"
+            ),
+        )
+        .drop("_pk_bucket", "_pk_base")
+    )
+    return out
+
+
+def pack_chunks(
+    offsets_df: DataFrame,
+    max_len: int,
+    tokens_col: str = "tokens",
+    pad_id: int | None = None,
+    drop_last: bool = False,
+) -> DataFrame:
+    """Materialize fixed-length packed examples from ``pack_offsets`` output.
+
+    Returns ``(chunk_id, tokens, n_filled, n_docs)`` where ``tokens`` is the
+    concat-stream slice ``[chunk_id*max_len, (chunk_id+1)*max_len)``.
+    ``pad_id`` pads the final partial chunk to max_len; ``drop_last`` drops
+    it instead. All slicing/assembly is JVM expressions (whole-stage
+    codegen); the single shuffle is by uniform chunk_id.
+    """
+    L = F.lit(max_len)
+    off = F.col("offset")
+    ntk = F.col("n_tok").cast("long")
+
+    spans = (
+        offsets_df.where(ntk > 0)
+        .select(
+            off.alias("offset"),
+            ntk.alias("_n"),
+            F.col(tokens_col).alias("_toks"),
+            F.explode(F.sequence(F.col("chunk_first"), F.col("chunk_last"))).alias(
+                "chunk_id"
+            ),
+        )
+        .select(
+            "chunk_id",
+            "offset",
+            # doc-relative 1-based slice start for this chunk's overlap
+            (F.greatest(F.col("chunk_id") * L, off) - off + 1).alias("_s"),
+            (
+                F.least((F.col("chunk_id") + 1) * L, off + F.col("_n"))
+                - F.greatest(F.col("chunk_id") * L, off)
+            ).alias("_len"),
+            "_toks",
+        )
+        .select(
+            "chunk_id",
+            "offset",
+            F.slice("_toks", F.col("_s").cast("int"), F.col("_len").cast("int")).alias(
+                "_piece"
+            ),
+        )
+    )
+    assembled = spans.groupBy("chunk_id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("offset", "_piece"))),
+                lambda s: s["_piece"],
+            )
+        ).alias("tokens"),
+        F.count_if(F.size("_piece") > 0).alias("n_docs"),
+    )
+    out = assembled.withColumn("n_filled", F.size("tokens").cast("int"))
+    if drop_last:
+        out = out.where(F.col("n_filled") == max_len)
+    elif pad_id is not None:
+        out = out.withColumn(
+            "tokens",
+            F.concat(
+                "tokens",
+                F.array_repeat(
+                    F.lit(pad_id).cast("int"), max_len - F.col("n_filled")
+                ),
+            ),
+        )
+    return out.select("chunk_id", "tokens", "n_filled", "n_docs")
+
+
+def chunk_stats(chunks_df: DataFrame) -> DataFrame:
+    """Per-chunk integrity stats (oracle-checkable without shipping arrays):
+    filled length, doc-span count, and the exact token sum."""
+    return chunks_df.select(
+        "chunk_id",
+        F.col("n_filled"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.aggregate(
+            "tokens", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("token_sum"),
+    )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: Column | str,
+    seed: str = "0",
+    rank: bool = False,
+) -> DataFrame:
+    """Reproducible global shuffle: order rows by ``md5(seed || key)``.
+
+    Adds ``shuffle_key`` (the hex hash). With ``rank=True`` also adds the
+    exact global ``shuffle_rank`` (0-based) — computed scalably by reusing
+    the two-level prefix sum with the hash's own first byte as the bucket
+    (monotone in the hash order AND uniform, so no skew).
+    """
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    out = df.withColumn("shuffle_key", F.md5(F.concat(F.lit(seed), key.cast("string"))))
+    if not rank:
+        return out
+    ranked = pack_offsets(
+        out.withColumn("_one", F.lit(1)),
+        order_col="shuffle_key",
+        bucket_col=F.substring("shuffle_key", 1, 2),
+        max_len=1,
+        n_tok_col="_one",
+    )
+    return ranked.withColumnRenamed("offset", "shuffle_rank").drop(
+        "_one", "chunk_first", "chunk_last"
+    )

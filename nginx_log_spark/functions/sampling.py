@@ -1,0 +1,78 @@
+"""Deterministic sampling for training-data pipelines.
+
+Every sampler here is a PURE FUNCTION of (key, seed) — no RNG state, no
+partition-order dependence — so a sample is reproducible across runs,
+cluster sizes, and engines (the md5-based uniform is recomputable in ANSI
+SQL / DuckDB for the correctness oracle). All expressions are JVM-side
+(md5/conv/comparison -> whole-stage codegen); a Bernoulli sample of a
+100 TB table is a scan + filter, no shuffle.
+
+The uniform: ``u(key) = int(md5(seed || key)[:8], 16) / 2^32`` — the first
+32 hash bits as a float in [0, 1). Rows are kept when ``u < rate``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TWO32 = float(1 << 32)
+
+
+def hash_uniform(key: Column | str, seed: str = "0") -> Column:
+    """Deterministic uniform in [0, 1) from (seed, key). DuckDB twin:
+    ``('0x' || substr(md5(seed || key), 1, 8))::BIGINT / 4294967296.0``."""
+    key = F.col(key) if isinstance(key, str) else key
+    h8 = F.substring(F.md5(F.concat(F.lit(seed), key.cast("string"))), 1, 8)
+    return F.conv(h8, 16, 10).cast("long") / F.lit(_TWO32)
+
+
+def hash_sample(
+    df: DataFrame, rate: float, key_col: Column | str, seed: str = "0"
+) -> DataFrame:
+    """Keep each row independently with probability ``rate`` (exact-rate
+    Bernoulli on the key hash). Scan + filter only — scale-free."""
+    return df.where(hash_uniform(key_col, seed) < F.lit(float(rate)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str,
+    key_col: Column | str,
+    seed: str = "0",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum Bernoulli rates (e.g. the source-mixture weights of a
+    training-data recipe). The rate table is a broadcast join — never a
+    shuffle of the fact table; unknown strata fall back to default_rate."""
+    spark = df.sparkSession
+    rate_df = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(rates.items())],
+        f"{strata_col} string, _rate double",
+    )
+    joined = df.join(F.broadcast(rate_df), on=strata_col, how="left")
+    eff = F.coalesce(F.col("_rate"), F.lit(float(default_rate)))
+    return joined.where(hash_uniform(key_col, seed) < eff).drop("_rate")
+
+
+def train_val_split(
+    df: DataFrame, val_frac: float, key_col: Column | str, seed: str = "0"
+) -> DataFrame:
+    """Disjoint, exhaustive, deterministic split: adds ``split`` in
+    {'train','val'}. The same (key, seed) lands in the same split on every
+    run and every cluster size — the property per-partition RNG sampling
+    (df.randomSplit) does NOT have."""
+    u = hash_uniform(key_col, seed)
+    return df.withColumn(
+        "split", F.when(u < F.lit(float(val_frac)), F.lit("val")).otherwise(F.lit("train"))
+    )
+
+
+def sample_oracle_pred(key_sql: str, rate_sql: str, seed: str = "0") -> str:
+    """The DuckDB predicate equivalent of ``hash_uniform(key) < rate`` —
+    kept next to the implementation so engine and oracle can't drift."""
+    return (
+        f"(('0x' || substr(md5('{seed}' || {key_sql}), 1, 8))::BIGINT"
+        f" / 4294967296.0) < ({rate_sql})"
+    )

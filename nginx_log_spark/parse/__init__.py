@@ -3,6 +3,7 @@ from nginx_log_spark.parse.arrow_parser import (  # noqa: F401
     parse_lines_arrow,
     parse_sequences_arrow,
     parse_tier_stats,
+    token_histogram,
 )
 from nginx_log_spark.parse.parser import (  # noqa: F401
     CORE_PATTERN,

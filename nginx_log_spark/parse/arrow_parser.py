@@ -297,6 +297,43 @@ def parse_tier_stats(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
     )
 
 
+def token_histogram(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """Global token-id frequency table: ``(token, cnt)``.
+
+    Scale shape: the naive ``explode(tokens).groupBy(token)`` shuffles the
+    ENTIRE token volume (100 TB of exploded rows). Instead each partition
+    bincounts its flattened token buffer in C (numpy over the zero-copy
+    Arrow values) and emits ≤ vocab-size partial rows; only those partials
+    (|vocab| x |partitions| upper bound) cross the shuffle. Exactly the
+    map-side-combine shape of fused_reports_arrow, applied to the token
+    dimension itself.
+    """
+
+    def op(batches):
+        for b in batches:
+            tok = b.column(b.schema.get_field_index(tokens_col))
+            if isinstance(tok, pa.ChunkedArray):
+                tok = tok.combine_chunks()
+            offs = tok.offsets.to_numpy()
+            vals = tok.values.to_numpy()[int(offs[0]) : int(offs[-1])]
+            if len(vals) == 0:
+                continue
+            counts = np.bincount(vals)
+            nz = np.nonzero(counts)[0]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(nz.astype(np.int32)),
+                    pa.array(counts[nz].astype(np.int64)),
+                ],
+                ["token", "cnt"],
+            )
+
+    from pyspark.sql import functions as F
+
+    partials = df.mapInArrow(op, "token int, cnt long")
+    return partials.groupBy("token").agg(F.sum("cnt").alias("cnt"))
+
+
 def parse_line_py(s: str) -> dict | None:
     """Single-line reference implementation of the two-tier logic (tests)."""
     import re
