@@ -162,6 +162,17 @@ def _group_queries(spark, group: str) -> dict[str, float]:
             fan_out_write(parse_sequences(seq), "/tmp/nginx_log_spark_bench/sinks")
 
         queries["route_fanout_write"] = _min_of(q_route, "route_fanout_write")
+
+        def q_pack():
+            from nginx_log_spark.functions import chunk_stats, pack_chunks, pack_offsets
+
+            offs = pack_offsets(
+                seq.withColumn("_id", F.expr("cast(substring(doc_id, 2) as long)")),
+                "_id", F.expr("_id div 100000"), 4096,
+            )
+            chunk_stats(pack_chunks(offs, 4096)).count()
+
+        queries["seq_pack_2m"] = _min_of(q_pack, "seq_pack_2m")
     elif group == "ops":
         from nginx_log_spark import driver_queries as Q
 

@@ -874,6 +874,78 @@ def docs_winnow_fp(spark, sf):
     )
 
 
+_PCTL_O = f"""{parity.duck_ext_cte()}
+SELECT upstream_status, CAST(COUNT(*) AS BIGINT) AS n,
+       round(quantile_cont(request_time::DOUBLE, 0.5), 6) AS p50,
+       round(quantile_cont(request_time::DOUBLE, 0.9), 6) AS p90,
+       round(quantile_cont(request_time::DOUBLE, 0.99), 6) AS p99,
+       round(avg(request_time::DOUBLE), 6) AS mean_rt
+FROM logs WHERE valid AND request_time IS NOT NULL
+GROUP BY upstream_status"""
+
+
+@_register("log_request_time_pctl", _PCTL_O)
+def log_request_time_pctl(spark, sf):
+    """Exact latency percentiles over the extended tail's request_time —
+    the sort-based-quantile aggregate class (linear interpolation, same
+    definition as SQL quantile_cont)."""
+    rt = F.col("request_time").cast("double")
+    parsed = (
+        parity.parsed_ext_log_df(spark, sf)
+        .filter(F.col("valid") & rt.isNotNull())
+        .withColumn("_rt", rt)
+    )
+    pctl = F.percentile("_rt", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return parsed.groupBy("upstream_status").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.get(pctl, 0), 6).alias("p50"),
+        F.round(F.get(pctl, 1), 6).alias("p90"),
+        F.round(F.get(pctl, 2), 6).alias("p99"),
+        F.round(F.avg("_rt"), 6).alias("mean_rt"),
+    )
+
+
+_STREAM_HOURLY_O = f"""{_V}
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, status,
+       CAST(COUNT(*) AS BIGINT) AS hits,
+       CAST(SUM(body_bytes_sent) AS BIGINT) AS bytes
+FROM v JOIN events ON 'e' || CAST(event_id AS VARCHAR) = v.doc_id
+GROUP BY 1, 2"""
+
+
+@_register("stream_hourly_counts", _STREAM_HOURLY_O)
+def stream_hourly_counts_q(spark, sf):
+    """The Structured Streaming surface, driver-checked: the watermarked
+    tumbling-hour aggregate run with Trigger.AvailableNow over the same
+    sequence table, complete-mode memory sink — must equal the batch
+    rollup exactly (streaming/stream.py)."""
+    import tempfile
+
+    from nginx_log_spark.streaming import read_sequence_stream, stream_hourly_counts
+
+    base = tempfile.mkdtemp(prefix="nls_stream_")
+    tag = base.rsplit("_", 1)[-1]
+    seq_path = f"{base}/seq"
+    (
+        parity.events_with_log_columns(spark, sf)
+        .select("doc_id", "tokens", "n_tok", "source")
+        .write.mode("overwrite").parquet(seq_path)
+    )
+    agg = stream_hourly_counts(read_sequence_stream(spark, seq_path))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName(f"stream_hourly_{tag}")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(600)
+    out = spark.table(f"stream_hourly_{tag}")
+    return out.select(
+        F.date_format("hour", "yyyy-MM-dd HH").alias("hour"),
+        "status", "hits", "bytes",
+    )
+
+
 # ===========================================================================
 # training-data ops II: sequence packing, deterministic sampling, token vocab
 # ===========================================================================
