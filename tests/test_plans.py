@@ -1,0 +1,106 @@
+"""Plan audits: the physical-plan properties the 100 TB design depends on,
+asserted so a refactor can't silently regress them.
+
+Each test pins one claim from SURVEY.md §4 / BENCH.md:
+  - filters and projections reach the parquet scan (pushdown + pruning)
+  - dimension joins broadcast (no fact-side shuffle)
+  - top-K plans TakeOrderedAndProject (no global sort)
+  - candidate-pair joins are equi-joins (never a nested-loop / cartesian)
+  - the packing prefix-sum's only single-partition exchange is the tiny
+    bucket-totals frame, and the data shuffles exactly once
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_parquet_filter_and_column_pushdown(spark, sf_dir):
+    df = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("source") == "src1")
+        .select("doc_id", "n_chars")
+    )
+    p = plan(df)
+    assert "PushedFilters: [IsNotNull(source), EqualTo(source,src1)]" in p
+    # projection pruning: the scan must not read `text`
+    assert "text" not in p.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_top_counts_plans_take_ordered(spark, sf_dir):
+    from nginx_log_spark.reports import reports as R
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumnRenamed(
+        "source", "remote_addr"
+    )
+    p = plan(R.top_counts(df, "remote_addr", 100))
+    assert "TakeOrderedAndProject" in p
+    # the pct denominator is a broadcast of a 1-row agg, not a window
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_geoip_enrich_is_broadcast_equi_join(spark, sf_dir):
+    from nginx_log_spark.enrich import default_cidr_table, enrich_geoip
+    from nginx_log_spark.parity import parsed_log_df
+
+    parsed = parsed_log_df(spark, sf_dir).filter(F.col("valid"))
+    p = plan(enrich_geoip(parsed, default_cidr_table(), spark=spark))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p  # fact side must not shuffle
+
+
+def test_lsh_pairs_is_equi_join(spark, sf_dir):
+    from nginx_log_spark.functions import lsh_candidate_pairs, minhash_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = minhash_signatures(docs, n_hashes=8, shingle_k=5)
+    p = plan(lsh_candidate_pairs(sigs, band_size=4, max_bucket=100))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_pack_offsets_single_partition_only_for_bucket_frame(spark):
+    from nginx_log_spark.functions import pack_offsets
+
+    seq = spark.range(1000).select(
+        F.col("id"),
+        F.array(F.lit(1)).alias("tokens"),
+        F.lit(1).alias("n_tok"),
+    )
+    p = plan(pack_offsets(seq, "id", F.expr("id div 100"), 64))
+    # exactly one SinglePartition exchange (the #buckets-row cumsum)...
+    assert p.count("Arguments: SinglePartition") == 1
+    # ...and two bucket-keyed hash exchanges: the groupBy's partial-agg
+    # stream (#buckets rows/partition after map-side combine) and the ONE
+    # data shuffle feeding the within-bucket window
+    assert p.count("Arguments: hashpartitioning(_pk_bucket") == 2
+    assert "BroadcastHashJoin" in p
+
+
+def test_fused_report_partials_are_map_side(spark, sf_dir):
+    """The fused report's JVM input is the partial-agg stream, never raw
+    rows: the mapInArrow output schema is the 4-column partial shape."""
+    from nginx_log_spark.parity import events_with_log_columns
+    from nginx_log_spark.reports.reports import fused_reports_arrow
+
+    seq = events_with_log_columns(spark, sf_dir).select("doc_id", "tokens", "n_tok")
+    p = plan(fused_reports_arrow(seq))
+    assert "dim_id" in p and "key0" in p
+    assert "CartesianProduct" not in p
