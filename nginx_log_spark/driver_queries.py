@@ -1114,6 +1114,60 @@ def docs_shuffle_rank(spark, sf):
     return det.select("doc_id", "shuffle_key", "shuffle_rank")
 
 
+_REP_O = r"""
+WITH n AS (SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nrm
+           FROM documents),
+g AS (SELECT doc_id, greatest(length(nrm) - 7, 0) AS n_grams,
+        CASE WHEN length(nrm) >= 8
+             THEN len(list_distinct([substr(nrm, i, 8)
+                  for i in range(1, length(nrm) - 7 + 1)]))
+             ELSE 0 END AS n_distinct
+      FROM n)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_distinct AS BIGINT) AS n_distinct_grams,
+       CASE WHEN n_grams > 0
+            THEN round((n_grams - n_distinct) / n_grams, 6)
+            ELSE 0.0 END AS dup_gram_frac
+FROM g"""
+
+
+@_register("docs_repetition", _REP_O)
+def docs_repetition(spark, sf):
+    """Gopher-style duplicate-8-gram fraction per doc (quality filter)."""
+    from nginx_log_spark.functions import repetition_stats
+
+    return repetition_stats(_docs(spark, sf))
+
+
+_DECON_O = r"""
+WITH s AS (SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nrm,
+             CASE WHEN (('0x' || substr(md5('sp' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                        / 4294967296.0) < 0.25
+                  THEN 'val' ELSE 'train' END AS split
+           FROM documents),
+g AS (SELECT doc_id, split,
+        unnest(list_distinct([substr(nrm, i, 8)
+               for i in range(1, greatest(length(nrm) - 7, 1) + 1)])) AS gram
+      FROM s),
+tg AS (SELECT DISTINCT gram FROM g WHERE split = 'train')
+SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+FROM g JOIN tg USING (gram) WHERE g.split = 'val' GROUP BY g.doc_id"""
+
+
+@_register("docs_split_decontam", _DECON_O)
+def docs_split_decontam(spark, sf):
+    """Train/val decontamination over the deterministic split: val docs
+    sharing >=1 normalized 8-gram with the train corpus."""
+    from nginx_log_spark.functions import split_contamination, train_val_split
+
+    d = train_val_split(_docs(spark, sf), 0.25, "doc_id", seed="sp")
+    return split_contamination(
+        d.filter(F.col("split") == "train"), d.filter(F.col("split") == "val")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

@@ -3,7 +3,9 @@ from nginx_log_spark.functions.dedup import (  # noqa: F401
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    repetition_stats,
     simhash16,
+    split_contamination,
 )
 from nginx_log_spark.functions.similarity import (  # noqa: F401
     cosine_topk,

@@ -187,6 +187,71 @@ def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return out.select(F.col(id_col), total.cast("int").alias("simhash"))
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
+) -> DataFrame:
+    """Gopher-style repetition detector: the fraction of a doc's k-char
+    grams that are duplicates (1 - distinct/total). High values flag
+    boilerplate / templated / looping text for quality filtering. All JVM
+    expressions — scan-speed over 100 TB, no shuffle at all."""
+    out = (
+        df.withColumn("_nrm", _norm(F.col(text_col)))
+        .withColumn("_total", F.greatest(F.length("_nrm") - (k - 1), F.lit(0)))
+        .withColumn(
+            "_grams",
+            F.expr(
+                f"transform(sequence(1, greatest(length(_nrm) - {k - 1}, 1)), "
+                f"i -> substring(_nrm, i, {k}))"
+            ),
+        )
+        .withColumn(
+            "_distinct",
+            F.when(F.col("_total") > 0, F.size(F.array_distinct("_grams"))).otherwise(
+                F.lit(0)
+            ),
+        )
+    )
+    dup = F.when(
+        F.col("_total") > 0,
+        F.round((F.col("_total") - F.col("_distinct")) / F.col("_total"), 6),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        id_col,
+        F.col("_total").cast("long").alias("n_grams"),
+        F.col("_distinct").cast("long").alias("n_distinct_grams"),
+        dup.alias("dup_gram_frac"),
+    )
+
+
+def split_contamination(
+    train: DataFrame,
+    val: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Train/val decontamination: val docs sharing >=1 normalized k-gram
+    with ANY train doc, with the count of shared (distinct) grams.
+
+    Scale shape: both sides reduce to DISTINCT gram sets before the join —
+    a left-semi equi-join on uniform gram keys, never a doc x doc
+    comparison; the train side is a set, so its size is bounded by corpus
+    vocabulary, not corpus length."""
+    tg = (
+        with_shingles(train.select(text_col), text_col, k)
+        .select(F.explode("_sh").alias("_g"))
+        .distinct()
+    )
+    vg = with_shingles(val.select(id_col, text_col), text_col, k).select(
+        F.col(id_col), F.explode("_sh").alias("_g")
+    )
+    return (
+        vg.join(tg, "_g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

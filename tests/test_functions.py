@@ -290,3 +290,42 @@ def test_multimodal_real_decode_raises(spark):
 
     with pytest.raises(NotImplementedError):
         _decode_bytes(b"xx", "image", fake=False)
+
+
+def test_repetition_stats_known_values(spark):
+    from nginx_log_spark.functions import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "abcdefgh" * 4),   # 'abcdefgh' repeated: heavy duplication
+            (2, "short"),           # < 8 chars: zeros
+            (3, "abcdefghijklmnop"),  # all distinct 8-grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    # doc 1: 32 chars -> 25 grams, distinct = 8 (cyclic shifts of abcdefgh)
+    assert got[1]["n_grams"] == 25 and got[1]["n_distinct_grams"] == 8
+    assert abs(got[1]["dup_gram_frac"] - round((25 - 8) / 25, 6)) < 1e-9
+    assert got[2]["n_grams"] == 0 and got[2]["dup_gram_frac"] == 0.0
+    assert got[3]["n_grams"] == 9 and got[3]["n_distinct_grams"] == 9
+    assert got[3]["dup_gram_frac"] == 0.0
+
+
+def test_split_contamination_planted_overlap(spark):
+    from nginx_log_spark.functions import split_contamination
+
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    val = spark.createDataFrame(
+        [
+            (10, "quick brown fox says hi"),     # shares grams with train
+            (11, "zzzz yyyy xxxx wwww vvvv uu"), # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_shared_grams"] for r in split_contamination(train, val).collect()}
+    assert 10 in got and got[10] > 0
+    assert 11 not in got
