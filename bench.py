@@ -125,6 +125,21 @@ def _group_queries(spark, group: str) -> dict[str, float]:
         seq.count()
 
         def q_parse_count():
+            # the C tool's read-parse-discard loop: full parse, nothing
+            # materialized. fields/keep_cols = manual projection pushdown
+            # (Catalyst can't prune through mapInArrow); without it this
+            # query pays Arrow IPC for 9 utf8 columns + the echoed token
+            # arrays (~3 GB at 8M rows) just to count.
+            from nginx_log_spark.parse import parse_sequences
+
+            parse_sequences(
+                seq.select("tokens"), fields=["valid"], keep_cols=[]
+            ).filter(F.col("valid")).count()
+
+        def q_parse_materialize():
+            # secondary: parse + ship ALL fields AND the token passthrough
+            # to the JVM — the transfer-bound upper bound a consumer pays
+            # only when it actually needs every column
             from nginx_log_spark.parse import parse_sequences
 
             parse_sequences(seq).filter(F.col("valid")).count()
@@ -132,6 +147,7 @@ def _group_queries(spark, group: str) -> dict[str, float]:
         # warm: fork the python worker pool + JIT with one full pass
         queries["warmup_sec"] = _timed(q_parse_count, "warmup (cold parse)")
         queries["parse_lines"] = _min_of(q_parse_count, "parse_lines")
+        queries["parse_materialize"] = _min_of(q_parse_materialize, "parse_materialize", 2)
         queries["full_report_job"] = _min_of(
             lambda: pipeline_job(spark, seq), "full_report_job"
         )

@@ -202,7 +202,11 @@ def _out_ddl(df: DataFrame, out_fields) -> str:
 
 
 def parse_sequences_arrow(
-    df: DataFrame, tokens_col: str = "tokens", extended: bool = False
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    extended: bool = False,
+    fields: list[str] | None = None,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """(doc_id, tokens, n_tok, source, ...) -> same + 9 fields + valid
     (+ the 9 nullable extended-tail fields with extended=True).
@@ -210,9 +214,27 @@ def parse_sequences_arrow(
     mapInArrow: the token bytes never materialize as Python objects on the
     hot path; the input columns (including the token arrays — per-row
     invariant) pass through untouched.
+
+    ``fields`` / ``keep_cols`` are MANUAL projection pushdown: Catalyst
+    cannot prune columns through an opaque mapInArrow, so a consumer that
+    only needs (say) ``valid`` would otherwise pay Arrow IPC for all nine
+    parsed utf8 columns PLUS the ~700 B/row token arrays echoed back to
+    the JVM — measured 3-4x the parse kernel's own cost at 8M rows.
+    ``fields`` selects which parsed columns to emit (parse still runs in
+    full), ``keep_cols`` which input columns to echo; None = all (the
+    default, schema-compatible with round-1 callers).
     """
     out_fields = _out_arrow_fields(extended)
-    out_ddl = _out_ddl(df, out_fields)
+    if fields is not None:
+        missing = set(fields) - {n for n, _ in out_fields}
+        if missing:
+            raise ValueError(f"unknown parsed fields: {sorted(missing)}")
+        out_fields = [(n, t) for n, t in out_fields if n in set(fields)]
+    keep = list(df.columns) if keep_cols is None else list(keep_cols)
+    out_ddl = _out_ddl(df.select(*keep), out_fields) if keep else ", ".join(
+        f"{n} {'bigint' if t == pa.int64() else ('boolean' if t == pa.bool_() else 'string')}"
+        for n, t in out_fields
+    )
     tok_name = tokens_col
 
     def op(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -220,8 +242,9 @@ def parse_sequences_arrow(
             tok = b.column(b.schema.get_field_index(tok_name))
             lines = _tokens_to_binary(tok)
             parsed = _parse_binary_lines(lines, extended)
-            arrays = list(b.columns) + [parsed[n] for n, _ in out_fields]
-            names = list(b.schema.names) + [n for n, _ in out_fields]
+            arrays = [b.column(b.schema.get_field_index(k)) for k in keep]
+            arrays += [parsed[n] for n, _ in out_fields]
+            names = keep + [n for n, _ in out_fields]
             yield pa.RecordBatch.from_arrays(arrays, names)
 
     return df.mapInArrow(op, out_ddl)

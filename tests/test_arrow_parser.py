@@ -305,3 +305,33 @@ def test_extended_spark_roundtrip(spark):
     assert list(out.valid) == [True, True]
     assert out.host.iloc[1] == "srv-1.example.com" and pd.isna(out.host.iloc[0])
     assert out.upstream_header_time.iloc[1] == "0.050"
+
+
+def test_parse_fields_pruning_parity(spark, sf_dir):
+    """fields/keep_cols projection = the same columns of the full parse."""
+    from nginx_log_spark.parity import events_with_log_columns
+    from nginx_log_spark.parse import parse_sequences
+
+    seq = events_with_log_columns(spark, sf_dir).select(
+        "doc_id", "tokens", "n_tok", "source"
+    ).limit(500)
+    full = parse_sequences(seq).select("doc_id", "status", "valid")
+    pruned = parse_sequences(
+        seq, fields=["status", "valid"], keep_cols=["doc_id"]
+    )
+    assert pruned.columns == ["doc_id", "status", "valid"]
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, pruned.collect()))
+    only_valid = parse_sequences(seq.select("tokens"), fields=["valid"], keep_cols=[])
+    assert only_valid.columns == ["valid"]
+    assert only_valid.filter("valid").count() == full.filter("valid").count()
+
+
+def test_parse_fields_pruning_unknown_field_raises(spark, sf_dir):
+    import pytest as _pytest
+
+    from nginx_log_spark.parse import parse_sequences
+    from nginx_log_spark.parity import events_with_log_columns
+
+    seq = events_with_log_columns(spark, sf_dir).select("tokens").limit(10)
+    with _pytest.raises(ValueError, match="unknown parsed fields"):
+        parse_sequences(seq, fields=["nope"])
