@@ -159,13 +159,14 @@ def _group_queries(spark, group: str) -> dict[str, float]:
             from nginx_log_spark.enrich import default_cidr_table, enrich_geoip, enrich_ua
             from nginx_log_spark.parse import parse_sequences
 
-            df = enrich_ua(
-                enrich_geoip(
-                    parse_sequences(seq).filter(F.col("valid")),
-                    default_cidr_table(),
-                    spark=spark,
-                )
-            )
+            # projection pushdown: the geo/UA rollup reads exactly two
+            # parsed columns — don't ship the other seven + token echo
+            parsed = parse_sequences(
+                seq.select("tokens"),
+                fields=["remote_addr", "http_user_agent", "valid"],
+                keep_cols=[],
+            ).filter(F.col("valid"))
+            df = enrich_ua(enrich_geoip(parsed, default_cidr_table(), spark=spark))
             df.groupBy("country", "ua_class").count().collect()
 
         _timed(q_enrich, "warmup (cold enrich)")
