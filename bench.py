@@ -248,6 +248,17 @@ def run_bench() -> dict:
     _ensure_seq(spark)
     spark.stop()
 
+    # scaling FIRST: it is a ratio, so it is the measurement most fragile to
+    # this box's burst-credit throttling — run it before the rest of the
+    # suite drains the credits (measured: the alu probe's per-core speed
+    # drops ~2x by the end of a full-tilt 10-minute suite)
+    scaling: dict | None = None
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
+        try:
+            scaling = run_scaling(int(os.environ.get("SPARK_GRAFT_SCALING_N", "8")))
+        except Exception as e:  # never lose the headline numbers
+            scaling = {"error": str(e)[:500]}
+
     queries: dict[str, float] = {}
     meta: dict = {}
     runs: dict = {}
@@ -283,8 +294,8 @@ def run_bench() -> dict:
         "tokens_per_sec": int(n_tokens / parse_sec),
         "report_job_lines_per_sec": int(n_rows / max(queries["full_report_job"], 1e-9)),
     }
-    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
-        out["scaling"] = run_scaling(int(os.environ.get("SPARK_GRAFT_SCALING_N", "8")))
+    if scaling is not None:
+        out["scaling"] = scaling
     return out
 
 
@@ -305,7 +316,7 @@ def run_scaling_child(cpus: int) -> None:
     n = seq.count()  # warm file listing
     # warm python workers + JIT with a DIFFERENT job shape, then min-of-k
     parse_sequences(seq).filter(F.col("valid")).count()
-    n_runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
+    n_runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "2"))
     ts = [
         _timed(lambda: pipeline_job(spark, seq), f"pipeline@local[{cpus}] run{i}")
         for i in range(n_runs)
@@ -389,6 +400,31 @@ def run_calibration(n_small: int) -> dict:
     return out
 
 
+def _scaling_child_run(cpus: int, cache: str) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_BENCH_ROWS=str(SCALING_ROWS),
+        SPARK_GRAFT_SEQ_CACHE=cache,
+        SPARK_GRAFT_SHUFFLE_PARTITIONS="64",
+        SPARK_GRAFT_MAX_PARTITION_BYTES="67108864",
+    )
+    # pin the whole child (JVM + python workers) to exactly `cpus`
+    # cores — local[N] alone still lets the JVM feed threads borrow
+    # idle cores, flattering the small configuration
+    args = ["--scaling-child", str(cpus)]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, __file__] + args
+        r = subprocess.run(cmd, capture_output=True, text=True,
+                           env=env, timeout=3600)
+        for line in r.stderr.splitlines():
+            if line.startswith("[bench]"):
+                print(line, file=sys.stderr, flush=True)
+        line = [l for l in r.stdout.splitlines() if l.startswith("@@RESULT@@")][-1]
+        return json.loads(line[len("@@RESULT@@"):])
+    return _run_child(args, env=env)
+
+
 def run_scaling(n_small: int = 8) -> dict:
     """Same job, two parallelism levels, fresh pinned JVM each, min-of-k,
     plus the hardware calibration at the same core counts.
@@ -396,7 +432,13 @@ def run_scaling(n_small: int = 8) -> dict:
     The scaling input is 4x the bench fixture (8M lines) so per-core work
     dominates fixed scheduling overhead, and the shuffle width is PINNED
     (64) in both runs — the identical physical job, different core counts.
-    """
+
+    The N and 4N children run in INTERLEAVED passes (N, 4N, N, 4N) with the
+    per-level minimum taken across passes: this shared-hypervisor box's
+    effective CPU drifts over minutes (burst-credit throttling — the alu
+    probe's per-core md5 speed was measured dropping 74k -> 31k/s within
+    one suite), and a sequential all-N-then-all-4N order lets that drift
+    land entirely on one side of the ratio."""
     cache = f"/tmp/nginx_log_spark_bench/seq_{SCALING_ROWS}.parquet"
     if not Path(cache, "_SUCCESS").exists():
         # generate once, parent-side, with 128 files so BOTH children read
@@ -407,32 +449,21 @@ def run_scaling(n_small: int = 8) -> dict:
         write_sequences(spark, SCALING_ROWS, cache, partitions=128)
         spark.stop()
 
-    out = {}
-    for cpus in (n_small, n_small * 4):
-        env = dict(
-            os.environ,
-            SPARK_GRAFT_CPUS=str(cpus),
-            SPARK_GRAFT_BENCH_ROWS=str(SCALING_ROWS),
-            SPARK_GRAFT_SEQ_CACHE=cache,
-            SPARK_GRAFT_SHUFFLE_PARTITIONS="64",
-            SPARK_GRAFT_MAX_PARTITION_BYTES="67108864",
-        )
-        # pin the whole child (JVM + python workers) to exactly `cpus`
-        # cores — local[N] alone still lets the JVM feed threads borrow
-        # idle cores, flattering the small configuration
-        args = ["--scaling-child", str(cpus)]
-        if os.path.exists("/usr/bin/taskset"):
-            cmd = [sys.executable, __file__] + args
-            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-            r = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
-            for line in r.stderr.splitlines():
-                if line.startswith("[bench]"):
-                    print(line, file=sys.stderr, flush=True)
-            line = [l for l in r.stdout.splitlines() if l.startswith("@@RESULT@@")][-1]
-            out[cpus] = json.loads(line[len("@@RESULT@@"):])
-        else:
-            out[cpus] = _run_child(args, env=env)
-    t_small, t_big = out[n_small]["sec"], out[n_small * 4]["sec"]
+    n_big = n_small * 4
+    passes = int(os.environ.get("SPARK_GRAFT_SCALING_PASSES", "2"))
+    out: dict[int, dict] = {}
+    for p in range(passes):
+        for cpus in (n_small, n_big):
+            payload = _scaling_child_run(cpus, cache)
+            prev = out.get(cpus)
+            if prev is None or payload["sec"] < prev["sec"]:
+                payload["runs"] = (prev or payload)["runs"] + (
+                    payload["runs"] if prev else []
+                )
+                out[cpus] = payload
+            else:
+                prev["runs"] += payload["runs"]
+    t_small, t_big = out[n_small]["sec"], out[n_big]["sec"]
     rows = out[n_small]["rows"]
     eff = round((t_small / t_big) / 4.0, 3)
     calib = run_calibration(n_small)

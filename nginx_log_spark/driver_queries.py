@@ -23,15 +23,19 @@ from nginx_log_spark import parity
 from nginx_log_spark.enrich import default_cidr_table, enrich_geoip, enrich_ua, flatten_cidrs
 from nginx_log_spark.functions import (
     cosine_topk,
+    dedup_keep,
     embedding_neardup_pairs,
     exact_dedup,
+    ivf_ann_topk,
     lang_id_col,
     lsh_ann_topk,
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
     quality_columns,
+    quality_route,
     simhash16,
+    simhash_neardup_pairs,
     token_count_cols,
 )
 from nginx_log_spark.parse.parser import decode_tokens
@@ -203,6 +207,39 @@ def log_hourly_traffic(spark, sf):
     return h.select(
         F.date_format("hour", "yyyy-MM-dd HH").alias("hour"), "hits", "bytes"
     )
+
+
+_BURST_O = f"""{_V},
+m AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+         strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M') AS minute,
+         CAST(SUM(CASE WHEN status LIKE '5%' THEN 1 ELSE 0 END) AS BIGINT) AS err_cnt,
+         CAST(COUNT(*) AS BIGINT) AS hits
+  FROM v JOIN events ON 'e' || CAST(event_id AS VARCHAR) = v.doc_id
+  GROUP BY 1, 2
+),
+wdw AS (
+  SELECT minute, err_cnt, hits,
+    CAST(COUNT(*) OVER w AS BIGINT) AS n_hist,
+    CAST(SUM(err_cnt) OVER w AS BIGINT) AS sum_hist,
+    CAST(SUM(err_cnt * err_cnt) OVER w AS BIGINT) AS ss
+  FROM m WINDOW w AS (PARTITION BY hour ORDER BY minute
+                      ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+)
+SELECT minute, err_cnt, hits, n_hist, sum_hist,
+  round((err_cnt - sum_hist / n_hist)
+        / sqrt((ss - sum_hist * sum_hist / n_hist) / (n_hist - 1)), 6) AS z
+FROM wdw
+WHERE n_hist >= 5 AND (ss - sum_hist * sum_hist / n_hist) / (n_hist - 1) > 0
+"""
+
+
+@_register("log_error_burst_zscore", _BURST_O)
+def log_error_burst_zscore(spark, sf):
+    """Rolling-window telemetry: per-minute 5xx z-score vs trailing history
+    (reports/reports.error_burst_zscore) — integer window sums, one fixed
+    double expression, hour-bounded frames."""
+    return R.error_burst_zscore(_valid_logs(spark, sf))
 
 
 @_register(
@@ -578,6 +615,67 @@ def docs_langid(spark, sf):
     )
 
 
+# curation gate: first-failing reason, thresholds mirrored in quality_route
+_ROUTE_ORACLE = rf"""
+WITH f AS (
+  SELECT doc_id, source,
+    length(text) AS n_chars,
+    length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{{}}\-]', '', 'g')) AS n_punct,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE length(string_split_regex(lower(trim(text)), '\s+')) END AS n_words,
+    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        x -> list_contains({_DUCK_STOPS}, x))) AS n_stop,
+    CASE
+      WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+      WHEN regexp_matches(text, '(?i)(^|\s)(der|die|das|und|nicht|ein|ist|ich|mit|für)(\s|$)') THEN 'de'
+      WHEN regexp_matches(text, '(?i)(^|\s)(le|la|les|est|et|une|dans|pour|que|vous)(\s|$)') THEN 'fr'
+      WHEN regexp_matches(text, '(?i)(^|\s)(el|los|las|es|y|una|para|con|por|usted)(\s|$)') THEN 'es'
+      WHEN regexp_matches(text, '(?i)(^|\s)(the|and|is|of|to|in|that|it|for|with)(\s|$)') THEN 'en'
+      ELSE 'und' END AS lang_pred,
+    {_DUCK_NORM} AS nrm
+  FROM documents
+),
+g AS (
+  SELECT *, greatest(length(nrm) - 7, 0) AS n_grams,
+    CASE WHEN greatest(length(nrm) - 7, 0) > 0
+         THEN len(list_distinct([substr(nrm, i, 8)
+              for i in range(1, greatest(length(nrm) - 7, 1) + 1)]))
+         ELSE 0 END AS n_dis
+  FROM f
+),
+v AS (
+  SELECT doc_id, source, n_words,
+    round(least(n_words / 100.0, 1.0) * 0.4
+        + least((CASE WHEN n_words > 0 THEN n_stop / n_words ELSE 0.0 END) * 4.0, 1.0) * 0.4
+        + (1.0 - least((CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 5.0, 1.0)) * 0.2,
+      6) AS score,
+    lang_pred,
+    CASE WHEN n_grams > 0 THEN round((n_grams - n_dis) / n_grams, 6) ELSE 0.0 END AS dupf
+  FROM g
+)
+SELECT doc_id, source,
+  CASE WHEN n_words < 20 THEN 'too_short'
+       WHEN score < 0.5 THEN 'low_quality'
+       WHEN lang_pred NOT IN ('en') THEN 'non_target_lang'
+       WHEN dupf > 0.3 THEN 'too_repetitive'
+       ELSE 'ok' END AS reason,
+  (CASE WHEN n_words < 20 THEN 'too_short'
+        WHEN score < 0.5 THEN 'low_quality'
+        WHEN lang_pred NOT IN ('en') THEN 'non_target_lang'
+        WHEN dupf > 0.3 THEN 'too_repetitive'
+        ELSE 'ok' END = 'ok') AS kept
+FROM v
+"""
+
+
+@_register("docs_quality_route", _ROUTE_ORACLE)
+def docs_quality_route(spark, sf):
+    """The composed curation gate (functions/textstats.quality_route):
+    per-doc first-failing-reason verdict over quality + langid + repetition
+    signals — the filter a training-data pipeline routes on."""
+    return quality_route(_docs(spark, sf))
+
+
 @_register(
     "docs_fingerprint",
     f"SELECT doc_id, md5({_DUCK_NORM}) AS fp FROM documents",
@@ -647,20 +745,59 @@ def docs_ngram_jaccard(spark, sf):
     return ngram_jaccard_pairs(_docs(spark, sf), shingle_k=5, threshold=0.2)
 
 
-_SIMHASH_ORACLE = rf"""
+# jaccard >= 0.7 on this fixture = the planted near-dup clones (25 pairs at
+# >= 0.9, 0 in [0.7, 0.9)) — the retention drop is NON-vacuous
+_DEDUP_KEEP_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct([substr({_DUCK_NORM}, i, 5)
+    for i in range(1, greatest(length({_DUCK_NORM}) - 4, 1) + 1)]) AS s
+  FROM documents
+),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+sz AS (SELECT doc_id, len(s) AS n FROM sh),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+  WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= 0.7
+)
+SELECT d.doc_id, d.source FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id_b = d.doc_id)
+"""
+
+
+@_register("docs_dedup_keep", _DEDUP_KEEP_ORACLE)
+def docs_dedup_keep(spark, sf):
+    """End-to-end dedup retention: verified near-dup pairs (jaccard >= 0.7)
+    -> greedy min-id keep via one left-anti join (functions/dedup.dedup_keep).
+    At corpus scale the pairs input is the LSH candidates, not the full
+    shingle join — the retention join itself is the same either way."""
+    docs = _docs(spark, sf)
+    pairs = ngram_jaccard_pairs(docs, shingle_k=5, threshold=0.7)
+    return dedup_keep(docs, pairs).select("doc_id", "source")
+
+
+_SIMHASH_CTE = rf"""
 WITH h AS (
   SELECT doc_id,
     list_transform(string_split({_DUCK_NORM}, ' '),
                    w -> ('0x' || substr(md5(w), 1, 4))::INT) AS hs
   FROM documents
-)
+), s AS (
 SELECT doc_id, CAST(list_sum([
     CASE WHEN list_sum(list_transform(hs,
             h -> CASE WHEN (h // (1 << b)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
          THEN (1 << b) ELSE 0 END
     for b in range(0, 16)]) AS INT) AS simhash
 FROM h
+)
 """
+
+_SIMHASH_ORACLE = _SIMHASH_CTE + "SELECT doc_id, simhash FROM s"
 
 
 @_register("docs_simhash16", _SIMHASH_ORACLE)
@@ -668,6 +805,24 @@ def docs_simhash16(spark, sf):
     """16-bit sign-sum sketch; DuckDB recomputes the md5-derived word hashes
     with ('0x'||substr(md5(w),1,4))::INT == Spark's conv(substr(md5,1,4),16,10)."""
     return simhash16(_docs(spark, sf))
+
+
+# banded-join recall is EXACT for hamming <= 3 with 4 bands (pigeonhole),
+# so the oracle is the brute-force all-pairs scan the banding avoids
+_SIMHASH_ND_ORACLE = _SIMHASH_CTE + """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@_register("docs_simhash_neardup", _SIMHASH_ND_ORACLE)
+def docs_simhash_neardup(spark, sf):
+    """SimHash near-dup pairs via the banded Hamming join — checked against
+    DuckDB's brute-force all-pairs xor/popcount (the banding must lose
+    nothing at max_hamming < n_bands)."""
+    return simhash_neardup_pairs(_docs(spark, sf), max_hamming=3, n_bands=4)
 
 
 def _duck_cosine(vec_a: str, vec_b: str) -> str:
@@ -741,6 +896,43 @@ def emb_lsh_ann(spark, sf):
     embs = _embs(spark, sf)
     q = embs.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     return lsh_ann_topk(embs, list(q), k=10, n_planes=6)
+
+
+# IVF: seed centroids = vec_id < 8, assignment = argmax rounded cosine with
+# centroid-id tiebreak, probe the 2 cells nearest the query, exact rerank
+_IVF_ORACLE = f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         round({_duck_cosine('e.embedding', 'c.cvec')}, 6) AS s
+  FROM embeddings e CROSS JOIN c
+),
+asg AS (
+  SELECT vec_id, embedding, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+  FROM sims
+),
+probes AS (
+  SELECT c.cid FROM c, q
+  ORDER BY round({_duck_cosine('c.cvec', 'q.qv')}, 6) DESC, c.cid LIMIT 2
+)
+SELECT a.vec_id, round({_duck_cosine('a.embedding', 'q.qv')}, 6) AS cosine
+FROM asg a, q
+WHERE a.rn = 1 AND a.cid IN (SELECT cid FROM probes)
+ORDER BY cosine DESC, a.vec_id LIMIT 10
+"""
+
+
+@_register("emb_ivf_ann", _IVF_ORACLE)
+def emb_ivf_ann(spark, sf):
+    """IVF coarse-quantized ANN (functions/similarity.ivf_ann_topk): probe
+    the 2 nearest of 8 seed cells, exact rerank — assignment is a pure
+    projection (no shuffle), and the materialized form is a
+    partition-pruned scan (write_ivf_index)."""
+    embs = _embs(spark, sf)
+    q = embs.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ivf_ann_topk(embs, list(q), k=10, n_centroids=8, n_probe=2)
 
 
 # SQL-reproducible synthetic media (see multimodal.synth_payload_text):
@@ -944,6 +1136,82 @@ def stream_hourly_counts_q(spark, sf):
         F.date_format("hour", "yyyy-MM-dd HH").alias("hour"),
         "status", "hits", "bytes",
     )
+
+
+_SESS_STREAM_O = """
+WITH m AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS ns
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+      ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+SELECT user_id, MIN(us) AS start_us, MAX(us) AS end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+@_register("stream_sessionize", _SESS_STREAM_O)
+def stream_sessionize_q(spark, sf):
+    """The custom stateful streaming operator, driver-checked: events replay
+    as FOUR time-ranged micro-batches (file source, one file per trigger, so
+    sessions genuinely cross batch boundaries through the state store),
+    update-mode memory sink, exact monotone fold — must equal the batch
+    lag/cumsum sessionization to the microsecond."""
+    import os
+    import tempfile
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nginx_log_spark.streaming import sessionize_fold, stream_sessionize
+
+    base = tempfile.mkdtemp(prefix="nls_sess_")
+    tag = base.rsplit("_", 1)[-1]
+    ev_dir = f"{base}/ev"
+    os.makedirs(ev_dir)
+    # harness setup (not the operator): materialize the event log as 4
+    # ascending time-range files with strictly increasing mtimes — the file
+    # source replays oldest-mtime-first, simulating in-order arrival
+    pdf = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .select(
+            "event_id", "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        )
+        .toPandas()
+        .sort_values("us")
+    )
+    lo, hi = int(pdf.us.min()), int(pdf.us.max())
+    cuts = [lo + (hi - lo) * i // 4 for i in (1, 2, 3)] + [hi]
+    prev = lo - 1
+    now = _time.time()
+    for i, cut in enumerate(cuts):
+        part = pdf[(pdf.us > prev) & (pdf.us <= cut)]
+        prev = cut
+        path = f"{ev_dir}/{i:02d}.parquet"
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), path)
+        os.utime(path, (now + i, now + i))
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, us long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ev_dir)
+    )
+    q = (
+        stream_sessionize(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(f"sess_{tag}")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return sessionize_fold(spark.table(f"sess_{tag}"))
 
 
 # ===========================================================================

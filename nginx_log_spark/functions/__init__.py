@@ -1,18 +1,24 @@
 from nginx_log_spark.functions.dedup import (  # noqa: F401
+    dedup_keep,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
     repetition_stats,
     simhash16,
+    simhash_neardup_pairs,
     split_contamination,
 )
 from nginx_log_spark.functions.similarity import (  # noqa: F401
     cosine_topk,
+    ivf_ann_topk,
+    ivf_assign,
     embedding_neardup_pairs,
     lsh_ann_topk,
     lsh_ann_topk_prebucketed,
+    seed_centroids,
     write_bucketed_embeddings,
+    write_ivf_index,
 )
 from nginx_log_spark.functions.packing import (  # noqa: F401
     chunk_stats,
@@ -31,6 +37,7 @@ from nginx_log_spark.functions.textstats import (  # noqa: F401
     doc_fingerprint,
     lang_id_col,
     quality_columns,
+    quality_route,
     token_count_cols,
     winnow_fingerprints,
 )

@@ -187,6 +187,78 @@ def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return out.select(F.col(id_col), total.cast("int").alias("simhash"))
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash-16 Hamming distance <= max_hamming.
+
+    Banded candidate join: the 16-bit sketch splits into n_bands contiguous
+    bands; candidates meet only on an equal (band_idx, band_val) key. For
+    max_hamming < n_bands this is EXACT (pigeonhole: d differing bits touch
+    at most d bands, so some band survives intact), so the xor-popcount
+    filter afterwards loses nothing vs the O(n^2) all-pairs scan.
+
+    Scale shape: the join key is a (band, 4-bit value) pair — at most
+    n_bands * 2^(16/n_bands) distinct keys. That is deliberately coarse: a
+    64-bucket band key over 10^9 docs makes bucket-local joins enormous, so
+    at 100 TB widen the sketch (simhash64 with the same construction) or
+    cap buckets like lsh_candidate_pairs.max_bucket. Output columns
+    (id_a, id_b, hamming), id_a < id_b.
+    """
+    bits = 16 // n_bands
+    sigs = simhash16(df, text_col, id_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftright(F.col("simhash"), b * bits)
+                .bitwiseAND(F.lit((1 << bits) - 1))
+                .alias("band_val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    ex = sigs.select(F.col(id_col), F.col("simhash"), F.explode(bands).alias("b")).select(
+        id_col, "simhash", "b.band_idx", "b.band_val"
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("_sa"),
+            F.col("b.simhash").alias("_sb"),
+        )
+        .distinct()
+        .withColumn("hamming", F.expr("bit_count(_sa ^ _sb)").cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def dedup_keep(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Dedup retention: given verified duplicate pairs (id_a < id_b), drop
+    every doc that appears as the LARGER side of any pair; keep the rest.
+
+    This is the greedy min-id representative rule — 1-hop, deterministic,
+    and a single left-anti join on uniform ids (no iteration). For chains
+    a~b, b~c without a~c it keeps a and c (vs full connected components,
+    which costs an iterative join loop for marginal extra removal — the
+    standard LSH-dedup trade, cf. the MinHash dedup literature)."""
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(dropped, [id_col], "left_anti")
+
+
 def repetition_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
 ) -> DataFrame:

@@ -151,6 +151,116 @@ def lsh_ann_topk_prebucketed(
     )
 
 
+def _py_cosine(a: list[float], b: list[float]) -> float:
+    """Driver-side cosine with the SAME sequential left-fold order as
+    cosine_sim's F.aggregate — IEEE-identical results, so driver-side
+    probe selection agrees bit-for-bit with the executor-side assignment."""
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a, b):
+        dot += float(x) * float(y)
+    for x in a:
+        na += float(x) * float(x)
+    for y in b:
+        nb += float(y) * float(y)
+    return dot / ((na**0.5) * (nb**0.5))
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """IVF coarse quantization: nearest-centroid (max rounded cosine,
+    centroid-id tiebreak) cell id per vector, as a PURE PROJECTION.
+
+    The centroid list is embedded as literal arrays (it is tiny — the coarse
+    quantizer of a 10^12-vector index is 2^10..2^16 centroids), so the
+    assignment is scan-speed: no shuffle, no window, no join. argmax via
+    array_max over (sim, -cid) structs — struct ordering is lexicographic,
+    so ties resolve to the smallest centroid id. At scale the assignment is
+    computed once and the table written partitioned by cell
+    (write_ivf_index), making every query a partition-pruned scan."""
+    entries = []
+    for cid, cvec in centroids:
+        c = F.array(*[F.lit(float(x)) for x in cvec])
+        sim = F.round(cosine_sim(F.col(vec_col).cast("array<double>"), c), 6)
+        entries.append(F.struct(sim.alias("s"), F.lit(-cid).alias("negcid")))
+    best = F.array_max(F.array(*entries))
+    return df.withColumn(cell_col, (-best["negcid"]).cast("int"))
+
+
+def seed_centroids(
+    df: DataFrame,
+    n_centroids: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic seed centroids: the n_centroids smallest-id vectors.
+    A production index would refine these with k-means rounds (assign via
+    ivf_assign, then groupBy(cell).agg(avg per dim) — the same join-free
+    shapes); the seed rule keeps the oracle reproducible in SQL."""
+    rows = (
+        df.select(id_col, vec_col)
+        .filter(F.col(id_col) < n_centroids)
+        .orderBy(id_col)
+        .collect()
+    )
+    return [(int(r[0]), list(r[1])) for r in rows]
+
+
+def ivf_ann_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN: probe the n_probe cells whose centroids are closest to the
+    query, exact-rerank inside them. Recall < 1 by design (vs cosine_topk);
+    the scan is |probed cells| / |table| of the data — and with the index
+    materialized partitioned-by-cell, a partition-pruned read."""
+    cents = seed_centroids(df, n_centroids, vec_col, id_col)
+    ranked = sorted(
+        ((round(_py_cosine(query_vec, cvec), 6), -cid) for cid, cvec in cents),
+        reverse=True,
+    )
+    probe = [-negcid for _, negcid in ranked[:n_probe]]
+    assigned = ivf_assign(df, cents, vec_col, id_col)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_sim(F.col(vec_col).cast("array<double>"), q)
+    return (
+        assigned.filter(F.col("cell").isin(probe))
+        .select(F.col(id_col), F.round(sim, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    mode: str = "overwrite",
+) -> list[tuple[int, list[float]]]:
+    """Materialize the IVF index: assign cells once, write partitioned by
+    cell. Queries over the written table filter cell IN (probes) — a
+    partition filter, so Spark prunes every unprobed cell's files at
+    planning time. Returns the centroid list (the query-side quantizer)."""
+    cents = seed_centroids(df, n_centroids, vec_col, id_col)
+    ivf_assign(df, cents, vec_col, id_col).write.mode(mode).partitionBy(
+        "cell"
+    ).parquet(path)
+    return cents
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

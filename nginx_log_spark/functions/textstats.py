@@ -96,6 +96,62 @@ def lang_id_col(text: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# curation gate: compose the signals into a route verdict
+# ---------------------------------------------------------------------------
+
+
+def quality_route(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    min_words: int = 20,
+    min_score: float = 0.5,
+    langs: tuple[str, ...] = ("en",),
+    max_dup_frac: float = 0.3,
+    rep_k: int = 8,
+) -> DataFrame:
+    """Training-data curation gate: first-failing-reason verdict per doc.
+
+    Composes the quality/langid/repetition signals into the filter a
+    curation pipeline actually routes on: reason = too_short | low_quality |
+    non_target_lang | too_repetitive (checked in that fixed order) | ok.
+    Pure projection — every signal is a JVM expression over the text column,
+    so the gate runs at scan speed with no shuffle; feed the result to a
+    partitioned fan-out write (route/) or a (source, reason) rollup for
+    per-shard accounting.
+    """
+    q = quality_columns(F.col(text_col))
+    # dup-gram fraction, same rule as dedup.repetition_stats: project the
+    # normalized text FIRST so the transform lambda doesn't re-run the
+    # normalization regex once per array element
+    staged = df.withColumn(
+        "_nrm", F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    ).withColumn("_total", F.greatest(F.length("_nrm") - (rep_k - 1), F.lit(0)))
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length(_nrm) - {rep_k - 1}, 1)), "
+        f"i -> substring(_nrm, i, {rep_k}))"
+    )
+    dup_frac = F.when(
+        F.col("_total") > 0,
+        (F.col("_total") - F.size(F.array_distinct(grams))) / F.col("_total"),
+    ).otherwise(F.lit(0.0))
+    reason = (
+        F.when(q["n_words"] < min_words, F.lit("too_short"))
+        .when(q["quality_score"] < min_score, F.lit("low_quality"))
+        .when(~lang_id_col(F.col(text_col)).isin(*langs), F.lit("non_target_lang"))
+        .when(F.round(dup_frac, 6) > max_dup_frac, F.lit("too_repetitive"))
+        .otherwise(F.lit("ok"))
+    )
+    return staged.select(
+        F.col(id_col),
+        F.col(source_col),
+        reason.alias("reason"),
+        (reason == "ok").alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # fingerprinting
 # ---------------------------------------------------------------------------
 

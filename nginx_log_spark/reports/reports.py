@@ -167,6 +167,59 @@ def hourly_traffic(parsed: DataFrame) -> DataFrame:
     )
 
 
+def error_burst_zscore(
+    parsed: DataFrame,
+    err_prefix: str = "5",
+    lookback: int = 10,
+    min_history: int = 5,
+) -> DataFrame:
+    """Per-minute server-error burst detector: z-score of each minute's
+    5xx count against the TRAILING `lookback` minutes (frame excludes the
+    current minute — the score is 'how surprising vs recent history').
+
+    Telemetry addition beyond the reference (which only counts). Scale
+    shape: one per-minute pre-aggregation (tiny output: 1440 rows/day),
+    then a window PARTITIONED BY HOUR — frames are bounded and the window
+    never sees one global partition; minutes at an hour boundary restart
+    their history (documented trade for scale-safety).
+
+    FP discipline: mean/variance are derived from INTEGER window sums
+    (count, sum, sum-of-squares) with one fixed double expression, so any
+    engine computing the same expression on the same integers agrees
+    bit-for-bit — no order-dependent float accumulation.
+    """
+    ts = time_local_to_ts(F.col("time_local"))
+    base = (
+        parsed.withColumn("_ts", ts)
+        .filter(F.col("_ts").isNotNull())
+        .groupBy(
+            F.date_format(F.date_trunc("hour", F.col("_ts")), "yyyy-MM-dd HH").alias("hour"),
+            F.date_format(F.date_trunc("minute", F.col("_ts")), "yyyy-MM-dd HH:mm").alias("minute"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("status").startswith(err_prefix), 1).otherwise(0)
+            ).alias("err_cnt"),
+            F.count(F.lit(1)).alias("hits"),
+        )
+    )
+    w = W.partitionBy("hour").orderBy("minute").rowsBetween(-lookback, -1)
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum("err_cnt").over(w)
+    ss = F.sum(F.col("err_cnt") * F.col("err_cnt")).over(w)
+    var = (ss - s * s / n) / (n - 1)
+    z = F.round((F.col("err_cnt") - s / n) / F.sqrt(var), 6)
+    return (
+        base.select(
+            "minute", "err_cnt", "hits",
+            n.alias("n_hist"), s.alias("sum_hist"),
+            var.alias("_var"), z.alias("z"),
+        )
+        .filter((F.col("n_hist") >= min_history) & (F.col("_var") > 0))
+        .drop("_var")
+    )
+
+
 _FUSED_DIMS = [
     "top_ips", "top_users", "top_xff", "top_requests", "top_uas",
     "top_referers", "top_times", "status_counts", "hourly", "bad_code",
@@ -215,36 +268,35 @@ def fused_reports(parsed: DataFrame, k: int = TOP_K) -> DataFrame:
         F.posexplode(F.array(*keys)).alias("dim_id", "key0"),
         F.col("body_bytes_sent").alias("_b"),
     ).filter(F.col("key0").isNotNull())
-    agg = ex.groupBy("dim_id", "key0").agg(
-        F.count(F.lit(1)).alias("cnt"), F.sum("_b").alias("bytes")
+    # row-level partials (cnt=1): _rank_partials' groupBy is then the ONE
+    # partial+final aggregation, and its two-phase top-K replaces the
+    # single-task-per-dim window (see _rank_partials)
+    partials = ex.select(
+        "dim_id", "key0", F.lit(1).alias("cnt"), F.col("_b").alias("bytes")
     )
-    is_bad = F.col("dim_id") == 9
-    named = agg.select(
-        F.element_at(F.array(*[F.lit(d) for d in _FUSED_DIMS]), F.col("dim_id") + 1).alias("dim"),
-        F.col("dim_id"),
-        # positional split: status is exactly 3 digits (see _SEP note)
-        F.when(is_bad, F.substring(F.col("key0"), 1, 3)).otherwise(F.col("key0")).alias("key"),
-        F.when(is_bad, F.expr("substring(key0, 5)")).alias("key2"),
-        F.col("key0"),
-        "cnt",
-        "bytes",
-    )
-    w = W.partitionBy("dim_id", F.when(is_bad, F.col("key")))
-    ranked = (
-        named.withColumn("section_total", F.sum("cnt").over(w))
-        .withColumn("section_bytes", F.sum("bytes").over(w))
-        .withColumn("section_keys", F.count(F.lit(1)).over(w))
-        .withColumn("rn", F.row_number().over(w.orderBy(F.desc("cnt"), F.asc("key0"))))
-        .withColumn("rn_bytes", F.row_number().over(w.orderBy(F.desc("bytes"), F.asc("key0"))))
-        .filter((F.col("rn") <= k) | ((F.col("dim_id") == 3) & (F.col("rn_bytes") <= k)))
-        .drop("key0")
-    )
-    return ranked
+    return _rank_partials(partials, k)
 
 
-def _rank_partials(agg: DataFrame, k: int) -> DataFrame:
+def _rank_partials(agg: DataFrame, k: int, buckets: int = 64) -> DataFrame:
     """Final agg + per-dim top-K ranking over (dim_id, key0, cnt, bytes)
-    partials — shared tail of both fused implementations."""
+    partials — shared tail of both fused implementations.
+
+    Two-phase top-K: a single window PARTITIONED ONLY BY DIM would sort the
+    whole per-second time dimension (millions of aggregated rows at scale)
+    in ONE task — the classic anti-scale single-partition window. Phase 1
+    pre-ranks within (dim, section, hash-bucket of the key): any global
+    top-k row is top-k in its own bucket (bucket ⊆ dim), so the survivors
+    (≤ k·buckets per dim) provably contain the answer; phase 2 computes the
+    EXACT ranks on that small set. Rows kept only via the bytes ranking
+    (dim 3) can carry a count-rank underestimated vs the full set, but
+    never below k+1 — the global count top-k all survive and outrank them —
+    so every `rn <= k` / `rn_bytes <= k` consumer sees identical rows and
+    ranks as the one-window plan.
+
+    Section totals (header totals / per-code subtotals, c/main.c:487-494,
+    :326-331) come from a separate ~10²-row aggregate broadcast back, not
+    from the big window.
+    """
     agg = agg.groupBy("dim_id", "key0").agg(
         F.sum("cnt").alias("cnt"), F.sum("bytes").alias("bytes")
     )
@@ -259,15 +311,39 @@ def _rank_partials(agg: DataFrame, k: int) -> DataFrame:
         "cnt",
         "bytes",
     )
-    w = W.partitionBy("dim_id", F.when(is_bad, F.col("key")))
+    sect_key = F.when(F.col("dim_id") == 9, F.col("key"))
+    sect = named.groupBy(F.col("dim_id").alias("_sd"), sect_key.alias("_sk")).agg(
+        F.sum("cnt").alias("section_total"),
+        F.sum("bytes").alias("section_bytes"),
+        F.count(F.lit(1)).alias("section_keys"),
+    )
+    wp = W.partitionBy(
+        "dim_id", sect_key, F.pmod(F.xxhash64("key0"), F.lit(buckets))
+    )
+    pre = (
+        named.withColumn(
+            "_rn1", F.row_number().over(wp.orderBy(F.desc("cnt"), F.asc("key0")))
+        )
+        .withColumn(
+            "_rb1", F.row_number().over(wp.orderBy(F.desc("bytes"), F.asc("key0")))
+        )
+        .filter((F.col("_rn1") <= k) | ((F.col("dim_id") == 3) & (F.col("_rb1") <= k)))
+        .drop("_rn1", "_rb1")
+    )
+    w = W.partitionBy("dim_id", sect_key)
     return (
-        named.withColumn("section_total", F.sum("cnt").over(w))
-        .withColumn("section_bytes", F.sum("bytes").over(w))
-        .withColumn("section_keys", F.count(F.lit(1)).over(w))
-        .withColumn("rn", F.row_number().over(w.orderBy(F.desc("cnt"), F.asc("key0"))))
+        pre.withColumn("rn", F.row_number().over(w.orderBy(F.desc("cnt"), F.asc("key0"))))
         .withColumn("rn_bytes", F.row_number().over(w.orderBy(F.desc("bytes"), F.asc("key0"))))
         .filter((F.col("rn") <= k) | ((F.col("dim_id") == 3) & (F.col("rn_bytes") <= k)))
-        .drop("key0")
+        .join(
+            F.broadcast(sect),
+            (F.col("dim_id") == F.col("_sd"))
+            & (sect_key.eqNullSafe(F.col("_sk"))),
+        )
+        .select(
+            "dim", "dim_id", "key", "key2", "cnt", "bytes",
+            "section_total", "section_bytes", "section_keys", "rn", "rn_bytes",
+        )
     )
 
 

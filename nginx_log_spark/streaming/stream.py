@@ -46,6 +46,94 @@ def stream_hourly_counts(seq_stream: DataFrame, watermark: str = "2 hours") -> D
     )
 
 
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def stream_sessionize(
+    events_stream: DataFrame, gap_us: int = SESSION_GAP_US
+) -> DataFrame:
+    """Cross-batch stateful sessionization — the custom stateful operator
+    Spark's built-ins don't provide exactly (session_window can't emit
+    running sessions in complete mode), via applyInPandasWithState.
+
+    Input stream columns: (event_id long, user_id long, us long) — event
+    time as epoch microseconds. Per user (the state key), state carries the
+    OPEN session (last_us, start_us, n). Each micro-batch merges its events
+    (vectorized: numpy diff + cumsum inside the group, no per-row Python),
+    emits every session it touched — closed ones final, the open one grown —
+    in UPDATE semantics. Because (end_us, n_events) grow monotonically for a
+    fixed (user_id, start_us), downstream folds the update log exactly with
+    groupBy(user_id, start_us).agg(max(end_us), max(n_events))
+    (sessionize_fold). Requires per-user batch arrival in event-time order
+    (file source with time-ranged files; a real deployment uses Kafka
+    partition time-ordering or a watermark-delayed reorder).
+
+    Scale shape: state is O(active users), shuffled once by the group key;
+    each batch's work is vectorized per group; no global ordering anywhere.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def fn(key, pdf_iter, state):
+        rows = pd.concat(list(pdf_iter), ignore_index=True)
+        rows = rows.sort_values(["us", "event_id"])
+        us = rows["us"].to_numpy(np.int64)
+        if state.exists:
+            last_us, start_us, n0 = state.get
+        else:
+            last_us, start_us, n0 = None, None, 0
+        prev = np.empty_like(us)
+        prev[0] = last_us if last_us is not None else 0
+        prev[1:] = us[:-1]
+        new_s = (us - prev) > gap_us
+        if last_us is None:
+            new_s[0] = True
+        sid = np.cumsum(new_s)  # 0 = continuation of the open session
+        agg = (
+            pd.DataFrame({"sid": sid, "us": us})
+            .groupby("sid")["us"]
+            .agg(["min", "max", "count"])
+            .reset_index()
+        )
+        starts, ends, counts = [], [], []
+        for r in agg.itertuples():
+            if r.sid == 0:
+                starts.append(int(start_us))
+                counts.append(int(n0) + int(r.count))
+            else:
+                starts.append(int(r.min))
+                counts.append(int(r.count))
+            ends.append(int(r.max))
+        state.update((int(ends[-1]), int(starts[-1]), int(counts[-1])))
+        yield pd.DataFrame(
+            {
+                "user_id": np.full(len(starts), key[0], dtype=np.int64),
+                "start_us": starts,
+                "end_us": ends,
+                "n_events": counts,
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, start_us long, end_us long, n_events long",
+        stateStructType="last_us long, start_us long, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def sessionize_fold(updates: DataFrame) -> DataFrame:
+    """Fold the update-mode session log to final sessions: for a fixed
+    (user_id, start_us) the open session only ever GROWS, so max() is the
+    exact last-writer-wins fold."""
+    return updates.groupBy("user_id", "start_us").agg(
+        F.max("end_us").alias("end_us"), F.max("n_events").alias("n_events")
+    )
+
+
 def stream_fan_out(seq_stream: DataFrame, out_base: str, checkpoint_dir: str):
     """foreachBatch routing through the SAME single-scan batch fan-out
     writer, partitioned by epoch with DYNAMIC partition overwrite.

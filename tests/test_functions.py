@@ -209,6 +209,65 @@ def test_embedding_neardup_exact(spark):
     assert set(zip(out.id_a, out.id_b)) == {(1, 2)}
 
 
+def test_simhash_neardup_banding_is_exact(spark, docs):
+    """Banded-join pairs == brute-force all-pairs at hamming <= 3 (the
+    pigeonhole guarantee: 3 flipped bits can't touch all 4 bands)."""
+    import itertools
+
+    from nginx_log_spark.functions import simhash_neardup_pairs
+
+    sub = docs.limit(80)
+    banded = simhash_neardup_pairs(sub, max_hamming=3, n_bands=4).toPandas()
+    sigs = simhash16(sub).toPandas()
+    sig = dict(zip(sigs.doc_id, sigs.simhash))
+    brute = {
+        (a, b, bin(sig[a] ^ sig[b]).count("1"))
+        for a, b in itertools.combinations(sorted(sig), 2)
+        if bin(sig[a] ^ sig[b]).count("1") <= 3
+    }
+    got = {(int(r.id_a), int(r.id_b), int(r.hamming)) for r in banded.itertuples()}
+    assert got == brute
+    assert len(got) > 0
+
+
+def test_dedup_keep_drops_larger_ids(spark):
+    from nginx_log_spark.functions import dedup_keep
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4, 5], "text": list("abcde")})
+    )
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 2, 1], "id_b": [2, 3, 3], "jaccard": [0.9, 0.9, 0.8]})
+    )
+    kept = dedup_keep(docs, pairs).toPandas()
+    # 2 and 3 are dominated by smaller ids; 1, 4, 5 survive
+    assert sorted(kept.doc_id) == [1, 4, 5]
+
+
+def test_ivf_full_probe_equals_exact(spark, embs):
+    """Probing ALL cells makes IVF == brute force (partitioning loses
+    nothing); probing 2 still finds the query itself first."""
+    from nginx_log_spark.functions import ivf_ann_topk
+
+    q = list(embs.orderBy("vec_id").first()["embedding"])
+    exact = cosine_topk(embs, q, k=10).toPandas()
+    full = ivf_ann_topk(embs, q, k=10, n_centroids=8, n_probe=8).toPandas()
+    assert list(full.vec_id) == list(exact.vec_id)
+    assert list(full.cosine) == list(exact.cosine)
+    two = ivf_ann_topk(embs, q, k=10, n_centroids=8, n_probe=2).toPandas()
+    assert two.cosine.iloc[0] == pytest.approx(1.0, abs=1e-6)  # self-match
+
+
+def test_ivf_index_prunes_partitions(spark, embs, tmp_path):
+    from nginx_log_spark.functions import write_ivf_index
+
+    path = str(tmp_path / "ivf")
+    write_ivf_index(embs, path, n_centroids=8)
+    scan = spark.read.parquet(path).filter(F.col("cell").isin([0, 3]))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:200]
+
+
 # ------------------------------------------------------------------ textstats
 def test_token_counts(spark):
     df = spark.createDataFrame(pd.DataFrame({"text": ["hello world", "  a  b  c ", "", "x,y!z"]}))

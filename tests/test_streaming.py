@@ -85,3 +85,69 @@ def test_stream_fan_out_counts(spark, tmp_path):
     routed2 = spark.read.parquet(f"{out}/sink=routed")
     rejects2 = spark.read.parquet(f"{out}/sink=rejects")
     assert routed2.count() + rejects2.count() == N  # no duplicates after replay
+
+
+def test_stream_sessionize_crosses_batches(spark, tmp_path):
+    """Planted sessions that SPAN micro-batch boundaries: the state store
+    must carry the open session across triggers, and the monotone fold must
+    recover the exact batch sessionization."""
+    import os
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nginx_log_spark.streaming import sessionize_fold, stream_sessionize
+
+    M = 60_000_000  # one minute in us
+    # user 1: events at 0,10,20 | 70,80 min  -> 2 sessions (gap 50 > 30)
+    # user 2: events at 5, 45, 85 min -> 3 sessions? gaps are 40 -> 3 separate
+    #         (but 45 lands in batch 2, 85 in batch 3: all open-session carry)
+    rows = [
+        (1, 1, 0 * M), (2, 1, 10 * M), (3, 1, 20 * M),
+        (4, 2, 5 * M), (5, 2, 45 * M), (6, 2, 85 * M),
+        (7, 1, 70 * M), (8, 1, 80 * M),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "us"]).sort_values("us")
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+    now = _time.time()
+    # 3 time-range files: [0,20], (20,60], (60,90] minutes
+    for i, (a, b) in enumerate([(-1, 20 * M), (20 * M, 60 * M), (60 * M, 90 * M)]):
+        part = pdf[(pdf.us > a) & (pdf.us <= b)]
+        p = f"{src}/{i:02d}.parquet"
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), p)
+        os.utime(p, (now + i, now + i))
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, us long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_sessionize(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sess_unit")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = (
+        sessionize_fold(spark.table("sess_unit"))
+        .toPandas()
+        .sort_values(["user_id", "start_us"])
+        .reset_index(drop=True)
+    )
+    exp = pd.DataFrame(
+        [
+            (1, 0 * M, 20 * M, 3),
+            (1, 70 * M, 80 * M, 2),
+            (2, 5 * M, 5 * M, 1),
+            (2, 45 * M, 45 * M, 1),
+            (2, 85 * M, 85 * M, 1),
+        ],
+        columns=["user_id", "start_us", "end_us", "n_events"],
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
