@@ -147,7 +147,7 @@ def _group_queries(spark, group: str) -> dict[str, float]:
         # warm: fork the python worker pool + JIT with one full pass
         queries["warmup_sec"] = _timed(q_parse_count, "warmup (cold parse)")
         queries["parse_lines"] = _min_of(q_parse_count, "parse_lines")
-        queries["parse_materialize"] = _min_of(q_parse_materialize, "parse_materialize", 2)
+        queries["parse_materialize"] = _min_of(q_parse_materialize, "parse_materialize", 1)
         queries["full_report_job"] = _min_of(
             lambda: pipeline_job(spark, seq), "full_report_job"
         )
@@ -307,15 +307,13 @@ SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "8000000"))
 
 
 def run_scaling_child(cpus: int) -> None:
-    from pyspark.sql import functions as F
-
-    from nginx_log_spark.parse import parse_sequences
-
     spark = _get_spark(cpus)
     seq = _ensure_seq(spark)
     n = seq.count()  # warm file listing
-    # warm python workers + JIT with a DIFFERENT job shape, then min-of-k
-    parse_sequences(seq).filter(F.col("valid")).count()
+    # warm python workers + JIT with ONE untimed pass of the measured job
+    # itself (round 2b: warming with the materialize-shape parse cost
+    # ~15-30s of pure extra DRAM traffic per child and JITs the wrong op)
+    pipeline_job(spark, seq)
     n_runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "2"))
     ts = [
         _timed(lambda: pipeline_job(spark, seq), f"pipeline@local[{cpus}] run{i}")

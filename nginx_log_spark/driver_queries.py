@@ -209,6 +209,50 @@ def log_hourly_traffic(spark, sf):
     )
 
 
+# request-line decomposition: 'GET /path?q HTTP/1.1' -> method + query-less
+# path, rolled up per path — pure projection + one groupBy + TakeOrdered
+_METHOD_PATH_O = f"""{_V},
+p AS (
+  SELECT string_split(request, ' ')[1] AS method,
+         string_split(string_split(request, ' ')[2], '?')[1] AS path,
+         body_bytes_sent,
+         CASE WHEN status LIKE '5%' THEN 1 ELSE 0 END AS e5
+  FROM v
+)
+SELECT method, path, CAST(COUNT(*) AS BIGINT) AS hits,
+  CAST(SUM(body_bytes_sent) AS BIGINT) AS bytes,
+  CAST(SUM(e5) AS BIGINT) AS n_5xx
+FROM p GROUP BY method, path
+ORDER BY hits DESC, method, path LIMIT 100
+"""
+
+
+@_register("log_method_path_stats", _METHOD_PATH_O)
+def log_method_path_stats(spark, sf):
+    """Top query-less URL paths by hits with bytes + 5xx counts — the
+    request-line decomposition the reference never does (it keys the whole
+    line, c/main.c:463); split is a scan-speed projection, top-K plans
+    TakeOrderedAndProject."""
+    v = _valid_logs(spark, sf)
+    arr = F.split(F.col("request"), " ")
+    base = v.select(
+        arr.getItem(0).alias("method"),
+        F.split(arr.getItem(1), r"\?").getItem(0).alias("path"),
+        "body_bytes_sent",
+        F.when(F.col("status").startswith("5"), 1).otherwise(0).alias("e5"),
+    )
+    return (
+        base.groupBy("method", "path")
+        .agg(
+            F.count(F.lit(1)).alias("hits"),
+            F.sum("body_bytes_sent").alias("bytes"),
+            F.sum("e5").cast("long").alias("n_5xx"),
+        )
+        .orderBy(F.desc("hits"), F.asc("method"), F.asc("path"))
+        .limit(100)
+    )
+
+
 _BURST_O = f"""{_V},
 m AS (
   SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
@@ -612,6 +656,66 @@ FROM documents
 def docs_langid(spark, sf):
     return _docs(spark, sf).select(
         "doc_id", lang_id_col(F.col("text")).alias("lang_pred")
+    )
+
+
+# dataset card: per-(source, language) accounting a curation pipeline
+# tracks per shard. FP discipline: mean quality = exact integer sum of the
+# 6dp-scaled scores (sum of longs commutes), divided once; p50 via the
+# interpolated-percentile definition both engines share (quantile_cont).
+_SOURCE_STATS_ORACLE = rf"""
+WITH f AS (
+  SELECT source,
+    CASE
+      WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+      WHEN regexp_matches(text, '(?i)(^|\s)(der|die|das|und|nicht|ein|ist|ich|mit|für)(\s|$)') THEN 'de'
+      WHEN regexp_matches(text, '(?i)(^|\s)(le|la|les|est|et|une|dans|pour|que|vous)(\s|$)') THEN 'fr'
+      WHEN regexp_matches(text, '(?i)(^|\s)(el|los|las|es|y|una|para|con|por|usted)(\s|$)') THEN 'es'
+      WHEN regexp_matches(text, '(?i)(^|\s)(the|and|is|of|to|in|that|it|for|with)(\s|$)') THEN 'en'
+      ELSE 'und' END AS lang_pred,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE length(string_split_regex(lower(trim(text)), '\s+')) END AS n_words,
+    length(text) AS n_chars,
+    length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{{}}\-]', '', 'g')) AS n_punct,
+    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        x -> list_contains({_DUCK_STOPS}, x))) AS n_stop
+  FROM documents
+),
+g AS (
+  SELECT source, lang_pred, n_words, n_chars,
+    CAST(round(round(least(n_words / 100.0, 1.0) * 0.4
+        + least((CASE WHEN n_words > 0 THEN n_stop / n_words ELSE 0.0 END) * 4.0, 1.0) * 0.4
+        + (1.0 - least((CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 5.0, 1.0)) * 0.2,
+      6) * 1000000, 0) AS BIGINT) AS q6
+  FROM f
+)
+SELECT source, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_words) AS BIGINT) AS total_words,
+  round(SUM(q6) / 1000000.0 / COUNT(*), 6) AS mean_quality,
+  round(quantile_cont(n_chars, 0.5), 6) AS p50_chars
+FROM g GROUP BY source, lang_pred
+"""
+
+
+@_register("docs_source_stats", _SOURCE_STATS_ORACLE)
+def docs_source_stats(spark, sf):
+    """Per-(source, predicted-language) dataset card: doc count, word
+    volume, mean quality (exact integer-sum of 6dp-scaled scores), median
+    length. One partial+final groupBy over uniform keys."""
+    docs = _docs(spark, sf)
+    q = quality_columns(F.col("text"))
+    base = docs.select(
+        "source",
+        lang_id_col(F.col("text")).alias("lang_pred"),
+        q["n_words"].cast("long").alias("n_words"),
+        q["n_chars"].cast("long").alias("n_chars"),
+        F.round(q["quality_score"] * 1e6, 0).cast("long").alias("q6"),
+    )
+    return base.groupBy("source", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        F.round(F.sum("q6") / F.lit(1e6) / F.count(F.lit(1)), 6).alias("mean_quality"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 6).alias("p50_chars"),
     )
 
 

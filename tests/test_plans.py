@@ -104,3 +104,21 @@ def test_fused_report_partials_are_map_side(spark, sf_dir):
     p = plan(fused_reports_arrow(seq))
     assert "dim_id" in p and "key0" in p
     assert "CartesianProduct" not in p
+
+
+def test_rank_partials_has_no_per_dim_single_window(spark):
+    """The fused tail's heavy ranking window must partition by the hash
+    BUCKET as well as (dim, section) — a window keyed only by dim sorts the
+    whole per-second dimension in one task at scale. The section totals
+    must come from a broadcast-joined aggregate, not the big window."""
+    from nginx_log_spark.reports import reports as R
+
+    partials = spark.createDataFrame(
+        [(6, f"k{i}", 1, 10) for i in range(50)],
+        "dim_id int, key0 string, cnt long, bytes long",
+    )
+    p = plan(R._rank_partials(partials, 100))
+    # phase-1 window partition spec includes the pmod(xxhash64(...)) bucket
+    assert "pmod" in p and "xxhash64" in p
+    # section totals ride a broadcast join, not window sums over the big set
+    assert "BroadcastExchange" in p
