@@ -205,8 +205,8 @@ def _group_queries(spark, group: str) -> dict[str, float]:
             sigs = minhash_signatures(docs, n_hashes=8, shingle_k=5, hash_fn=hash_fn)
             lsh_candidate_pairs(sigs, band_size=4, max_bucket=100).count()
 
-        # md5 = the DuckDB-oracle-parity path; xxhash64 = the native fast path
-        queries["docs_minhash_lsh"] = _timed(lambda: q_minhash("md5"), "docs_minhash_lsh")
+        # md5_sliced = the DuckDB-oracle-parity path; xxhash64 = the native fast path
+        queries["docs_minhash_lsh"] = _timed(lambda: q_minhash("md5_sliced"), "docs_minhash_lsh")
         queries["docs_minhash_lsh_xxh"] = _timed(
             lambda: q_minhash("xxhash64"), "docs_minhash_lsh_xxh"
         )

@@ -793,12 +793,16 @@ def docs_fingerprint(spark, sf):
 
 
 def _duck_minhash_cols(n_hashes: int = 8, k: int = 5) -> str:
+    """Sliced-md5 minhash (dedup.minhash_signatures 'md5_sliced'): hash i
+    is the i%4-th 8-hex-char slice of md5(shingle || '#g' || i//4), min
+    taken on the fixed-width hex string (== numeric min)."""
     sh = (
         f"list_distinct([substr({_DUCK_NORM}, i, {k}) "
         f"for i in range(1, greatest(length({_DUCK_NORM}) - {k} + 1, 1) + 1)])"
     )
     cols = ", ".join(
-        f"list_min(list_transform({sh}, s -> md5(s || '#{i}'))) AS mh{i}"
+        f"list_min(list_transform({sh}, s -> "
+        f"substr(md5(s || '#g{i // 4}'), {(i % 4) * 8 + 1}, 8))) AS mh{i}"
         for i in range(n_hashes)
     )
     return cols
@@ -808,8 +812,10 @@ _MINHASH_ORACLE = f"""
 WITH sig AS (SELECT doc_id, {_duck_minhash_cols()} FROM documents),
 bands AS (
   SELECT doc_id, b.band_idx, b.band_key FROM sig,
-  LATERAL (VALUES (0, mh0 || '#' || mh1), (1, mh2 || '#' || mh3),
-                  (2, mh4 || '#' || mh5), (3, mh6 || '#' || mh7))
+  LATERAL (VALUES (0, mh0::VARCHAR || '#' || mh1::VARCHAR),
+                  (1, mh2::VARCHAR || '#' || mh3::VARCHAR),
+                  (2, mh4::VARCHAR || '#' || mh5::VARCHAR),
+                  (3, mh6::VARCHAR || '#' || mh7::VARCHAR))
     AS b(band_idx, band_key)
 )
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
