@@ -107,6 +107,11 @@ def minhash_signatures(
         return lambda s: F.md5(F.concat(s, F.lit(f"#{i}")))
 
     if hash_fn == "md5_sliced":
+        # NB: a fully-fused single aggregate fold (shingles -> digest
+        # structs -> one pass of 8 leasts) was measured SLOWER than these
+        # per-permutation traversals: higher-order-function lambdas are
+        # interpreted, and per-element struct allocation in the fold costs
+        # more than the extra cheap array passes it saves.
         def group_md5(g: int):
             return lambda s: F.md5(F.concat(s, F.lit(f"#g{g}")))
 
