@@ -224,6 +224,7 @@ def simhash_neardup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     n_bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash-16 Hamming distance <= max_hamming.
 
@@ -236,8 +237,12 @@ def simhash_neardup_pairs(
     Scale shape: the join key is a (band, 4-bit value) pair — at most
     n_bands * 2^(16/n_bands) distinct keys. That is deliberately coarse: a
     64-bucket band key over 10^9 docs makes bucket-local joins enormous, so
-    at 100 TB widen the sketch (simhash64 with the same construction) or
-    cap buckets like lsh_candidate_pairs.max_bucket. Output columns
+    at 100 TB widen the sketch (simhash64 with the same construction) AND
+    set ``max_bucket`` (same degenerate-bucket guard as
+    lsh_candidate_pairs: a bucket of size B contributes B^2 pairs, and
+    dropping an oversized bucket only loses pairs that still share one of
+    the other n_bands-1 bands unless ALL their shared bands are oversized).
+    Exactness holds only with max_bucket=None. Output columns
     (id_a, id_b, hamming), id_a < id_b.
     """
     bits = 16 // n_bands
@@ -256,6 +261,14 @@ def simhash_neardup_pairs(
     ex = sigs.select(F.col(id_col), F.col("simhash"), F.explode(bands).alias("b")).select(
         id_col, "simhash", "b.band_idx", "b.band_val"
     )
+    if max_bucket is not None:
+        small = (
+            ex.groupBy("band_idx", "band_val")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
+        ex = ex.join(small, ["band_idx", "band_val"], "left_semi")
     a, b = ex.alias("a"), ex.alias("b")
     return (
         a.join(

@@ -388,3 +388,17 @@ def test_split_contamination_planted_overlap(spark):
     got = {r["doc_id"]: r["n_shared_grams"] for r in split_contamination(train, val).collect()}
     assert 10 in got and got[10] > 0
     assert 11 not in got
+
+
+def test_simhash_neardup_bucket_cap_bounds_degenerate_corpus(spark):
+    """A corpus of identical docs puts everyone in every band bucket; the
+    cap must bound the join instead of letting it go quadratic."""
+    from nginx_log_spark.functions import simhash_neardup_pairs
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(200), "text": ["same text here"] * 200})
+    )
+    capped = simhash_neardup_pairs(docs, max_hamming=3, max_bucket=50)
+    assert capped.count() == 0  # every bucket oversized -> no candidates
+    uncapped = simhash_neardup_pairs(docs, max_hamming=3)
+    assert uncapped.count() == 200 * 199 // 2
