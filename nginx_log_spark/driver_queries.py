@@ -35,6 +35,7 @@ from nginx_log_spark.functions import (
     quality_columns,
     quality_route,
     simhash16,
+    simhash64,
     simhash_neardup_pairs,
     token_count_cols,
 )
@@ -915,6 +916,35 @@ def docs_simhash16(spark, sf):
     """16-bit sign-sum sketch; DuckDB recomputes the md5-derived word hashes
     with ('0x'||substr(md5(w),1,4))::INT == Spark's conv(substr(md5,1,4),16,10)."""
     return simhash16(_docs(spark, sf))
+
+
+_SIMHASH64_ORACLE = rf"""
+WITH h AS (
+  SELECT doc_id,
+    list_transform(string_split({_DUCK_NORM}, ' '),
+                   w -> ('0x' || substr(md5(w), 1, 8))::BIGINT) AS lo,
+    list_transform(string_split({_DUCK_NORM}, ' '),
+                   w -> ('0x' || substr(md5(w), 9, 8))::BIGINT) AS hi
+  FROM documents
+)
+SELECT doc_id, CAST(list_sum([
+    CASE WHEN list_sum(list_transform(CASE WHEN b < 32 THEN lo ELSE hi END,
+            x -> CASE WHEN (x // (1::BIGINT << (b % 32))) % 2 = 1
+                 THEN 1 ELSE -1 END)) > 0
+         THEN (CASE WHEN b = 63 THEN -9223372036854775807 - 1
+               ELSE (1::BIGINT << least(b, 62)) END)
+         ELSE 0 END
+    for b in range(0, 64)]) AS BIGINT) AS simhash64
+FROM h
+"""
+
+
+@_register("docs_simhash64", _SIMHASH64_ORACLE)
+def docs_simhash64(spark, sf):
+    """Production-width 64-bit SimHash (functions/dedup.simhash64) — the
+    oracle rebuilds the two 32-bit md5 slices and the sign-bit-safe bit
+    values in DuckDB."""
+    return simhash64(_docs(spark, sf))
 
 
 # banded-join recall is EXACT for hamming <= 3 with 4 bands (pigeonhole),

@@ -6,6 +6,7 @@ from nginx_log_spark.functions.dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     repetition_stats,
     simhash16,
+    simhash64,
     simhash_neardup_pairs,
     split_contamination,
 )

@@ -218,6 +218,38 @@ def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return out.select(F.col(id_col), total.cast("int").alias("simhash"))
 
 
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash — the production-width sketch (the 16-bit variant's
+    2^16 value space saturates around 10^5 docs; 64 bits keeps random
+    collisions negligible at 10^9+). Same construction as simhash16: bit b
+    = sign of the sum over words of ±1 from bit b of the word's hash; the
+    word hash is the first 64 bits of md5(word) read as two 32-bit hex
+    slices. Bit 63 lands on the long's sign bit — the sum of disjoint bit
+    values still reproduces the exact two's-complement pattern, and the
+    DuckDB oracle mirrors it with the MIN_BIGINT literal (DuckDB raises on
+    1<<63). Pure JVM expressions, no shuffle."""
+    words = F.split(_norm(F.col(text_col)), " ")
+    lo = F.transform(words, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"))
+    hi = F.transform(words, lambda w: F.conv(F.substring(F.md5(w), 9, 8), 16, 10).cast("long"))
+    out = df.select(F.col(id_col), lo.alias("_lo"), hi.alias("_hi"))
+
+    def bit_sum(b: int):  # two-arg lambda only (see minhash note on arity)
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    total = F.lit(0).cast("long")
+    for b in range(64):
+        src, bb = ("_lo", b) if b < 32 else ("_hi", b - 32)
+        s = F.aggregate(F.col(src), F.lit(0), bit_sum(bb))
+        if b == 63:
+            vb = F.lit(-(2**63)).cast("long")
+        else:
+            vb = F.lit(1 << b).cast("long")
+        total = total + F.when(s > 0, vb).otherwise(F.lit(0).cast("long"))
+    return out.select(F.col(id_col), total.alias("simhash64"))
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -402,3 +402,19 @@ def test_simhash_neardup_bucket_cap_bounds_degenerate_corpus(spark):
     assert capped.count() == 0  # every bucket oversized -> no candidates
     uncapped = simhash_neardup_pairs(docs, max_hamming=3)
     assert uncapped.count() == 200 * 199 // 2
+
+
+def test_simhash64_close_for_near_dupes(spark, docs):
+    from nginx_log_spark.functions import simhash64
+
+    base = docs.limit(20).select("doc_id", "text")
+    dup = base.select((F.col("doc_id") + 100000).alias("doc_id"),
+                      F.concat(F.col("text"), F.lit(" zzz")).alias("text"))
+    sh = simhash64(base.union(dup)).toPandas().set_index("doc_id").simhash64
+    # two's-complement long -> unsigned for the popcount
+    dists = [bin((int(sh[i]) ^ int(sh[i + 100000])) & (2**64 - 1)).count("1")
+             for i in sh.index if i < 100000]
+    assert np.mean(dists) < 12  # near-dupes stay hamming-close on 64 bits
+    rng = [bin((int(a) ^ int(b)) & (2**64 - 1)).count("1")
+           for a, b in zip(sh.iloc[:10], sh.iloc[5:15])]
+    assert np.mean(rng) > np.mean(dists)  # and unrelated docs are farther
