@@ -29,6 +29,7 @@ from nginx_log_spark.functions import (
     ivf_ann_topk,
     lang_id_col,
     lsh_ann_topk,
+    lsh_ann_topk_multiprobe,
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -1036,6 +1037,28 @@ def emb_lsh_ann(spark, sf):
     embs = _embs(spark, sf)
     q = embs.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     return lsh_ann_topk(embs, list(q), k=10, n_planes=6)
+
+
+_LSH_MULTIPROBE_ORACLE = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+b AS (SELECT vec_id, embedding, {_duck_bucket('embedding', 6)} AS bucket
+      FROM embeddings),
+qb AS (SELECT bucket AS qbucket FROM b WHERE vec_id = 0)
+SELECT vec_id, round({_duck_cosine('embedding', 'qv')}, 6) AS cosine
+FROM b, q, qb
+WHERE bit_count(xor(bucket, qbucket)) <= 1
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+@_register("emb_lsh_ann_multiprobe", _LSH_MULTIPROBE_ORACLE)
+def emb_lsh_ann_multiprobe(spark, sf):
+    """Multi-probe LSH ANN (similarity.lsh_ann_topk_multiprobe): the query
+    bucket plus all 1-bit-flip neighbors — the recall/cost knob; the probe
+    set stays an explicit IN-list so a materialized index still prunes."""
+    embs = _embs(spark, sf)
+    q = embs.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return lsh_ann_topk_multiprobe(embs, list(q), k=10, n_planes=6, probe_bits=1)
 
 
 # IVF: seed centroids = vec_id < 8, assignment = argmax rounded cosine with

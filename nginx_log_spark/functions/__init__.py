@@ -16,7 +16,9 @@ from nginx_log_spark.functions.similarity import (  # noqa: F401
     ivf_assign,
     embedding_neardup_pairs,
     lsh_ann_topk,
+    lsh_ann_topk_multiprobe,
     lsh_ann_topk_prebucketed,
+    multiprobe_buckets,
     seed_centroids,
     write_bucketed_embeddings,
     write_ivf_index,

@@ -84,18 +84,69 @@ def lsh_ann_topk(
     dims = len(query_vec)
     # sequential left-fold, NOT numpy dot: bit-parity with Spark's
     # F.aggregate fold and DuckDB's list_sum on sign-threshold edge cases
-    qbucket = 0
-    for p in range(n_planes):
-        acc = 0.0
-        for d in range(dims):
-            acc += float(query_vec[d]) * _hyperplane(p, d)
-        if acc > 0:
-            qbucket |= 1 << p
+    qbucket = _query_bucket(query_vec, n_planes)
     bucketed = df.withColumn("_bucket", sketch_col(F.col(vec_col), dims, n_planes))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     sim = cosine_sim(F.col(vec_col).cast("array<double>"), q)
     return (
         bucketed.filter(F.col("_bucket") == qbucket)
+        .select(F.col(id_col), F.round(sim, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _query_bucket(query_vec: list[float], n_planes: int) -> int:
+    """Driver-side sketch of the query vector — same sequential fold as
+    sketch_col, so it agrees bit-for-bit with the executor-side buckets."""
+    qbucket = 0
+    for p in range(n_planes):
+        acc = 0.0
+        for d in range(len(query_vec)):
+            acc += float(query_vec[d]) * _hyperplane(p, d)
+        if acc > 0:
+            qbucket |= 1 << p
+    return qbucket
+
+
+def multiprobe_buckets(query_vec: list[float], n_planes: int, probe_bits: int = 1) -> list[int]:
+    """The query's bucket plus every bucket within `probe_bits` bit flips —
+    standard multi-probe LSH (a flipped bit covers a plane whose projection
+    was near zero). Returned as an EXPLICIT value list so the filter stays
+    a partition-pruning IN-predicate on a materialized index."""
+    from itertools import combinations
+
+    q = _query_bucket(query_vec, n_planes)
+    probes = [q]
+    for r in range(1, probe_bits + 1):
+        for bits in combinations(range(n_planes), r):
+            m = q
+            for b in bits:
+                m ^= 1 << b
+            probes.append(m)
+    return probes
+
+
+def lsh_ann_topk_multiprobe(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 6,
+    probe_bits: int = 1,
+) -> DataFrame:
+    """Multi-probe ANN: exact cosine over the query bucket AND its
+    probe_bits-flip neighbors. Recall rises toward exact as probe_bits
+    grows (probe_bits = n_planes scans everything); cost is
+    |probed buckets| / 2^n_planes of the table."""
+    probes = multiprobe_buckets(query_vec, n_planes, probe_bits)
+    dims = len(query_vec)
+    bucketed = df.withColumn("_bucket", sketch_col(F.col(vec_col), dims, n_planes))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_sim(F.col(vec_col).cast("array<double>"), q)
+    return (
+        bucketed.filter(F.col("_bucket").isin(probes))
         .select(F.col(id_col), F.round(sim, 6).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
@@ -132,14 +183,7 @@ def lsh_ann_topk_prebucketed(
     filter — Spark prunes every other bucket's files at planning time, so
     the scan cost is |bucket|, not |table| (verify via
     .explain: PartitionFilters [(_bucket = N)])."""
-    dims = len(query_vec)
-    qbucket = 0
-    for p in range(n_planes):
-        acc = 0.0
-        for d in range(dims):
-            acc += float(query_vec[d]) * _hyperplane(p, d)
-        if acc > 0:
-            qbucket |= 1 << p
+    qbucket = _query_bucket(query_vec, n_planes)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     sim = cosine_sim(F.col(vec_col).cast("array<double>"), q)
     return (

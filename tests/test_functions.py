@@ -418,3 +418,23 @@ def test_simhash64_close_for_near_dupes(spark, docs):
     rng = [bin((int(a) ^ int(b)) & (2**64 - 1)).count("1")
            for a, b in zip(sh.iloc[:10], sh.iloc[5:15])]
     assert np.mean(rng) > np.mean(dists)  # and unrelated docs are farther
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, embs):
+    from nginx_log_spark.functions import lsh_ann_topk_multiprobe
+
+    q = list(embs.orderBy("vec_id").first()["embedding"])
+    exact_ids = set(cosine_topk(embs, q, k=10).toPandas().vec_id)
+    single = set(lsh_ann_topk(embs, q, k=10, n_planes=4).toPandas().vec_id)
+    multi = set(
+        lsh_ann_topk_multiprobe(embs, q, k=10, n_planes=4, probe_bits=1)
+        .toPandas().vec_id
+    )
+    # probing more buckets can only improve recall vs exact
+    assert len(multi & exact_ids) >= len(single & exact_ids)
+    # probing EVERY bucket is exhaustive == exact
+    full = set(
+        lsh_ann_topk_multiprobe(embs, q, k=10, n_planes=4, probe_bits=4)
+        .toPandas().vec_id
+    )
+    assert full == exact_ids
