@@ -253,7 +253,16 @@ def run_bench() -> dict:
     # suite drains the credits (measured: the alu probe's per-core speed
     # drops ~2x by the end of a full-tilt 10-minute suite)
     scaling: dict | None = None
+    scaling_low: dict | None = None
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
+        # the controlled low-core pair FIRST: N=2 -> 4N=8 stays below the
+        # box's DRAM-saturation knee, so its ratio measures the ENGINE's
+        # scaling (measured 0.90 raw) — the 8 -> 32 pair then shows where
+        # the single shared memory bus caps the whole box (see BENCH.md)
+        try:
+            scaling_low = run_scaling(2, rows=4_000_000, passes=1, runs=2)
+        except Exception as e:
+            scaling_low = {"error": str(e)[:500]}
         try:
             scaling = run_scaling(int(os.environ.get("SPARK_GRAFT_SCALING_N", "8")))
         except Exception as e:  # never lose the headline numbers
@@ -296,6 +305,8 @@ def run_bench() -> dict:
     }
     if scaling is not None:
         out["scaling"] = scaling
+    if scaling_low is not None:
+        out["scaling_low_pair"] = scaling_low
     return out
 
 
@@ -398,15 +409,17 @@ def run_calibration(n_small: int) -> dict:
     return out
 
 
-def _scaling_child_run(cpus: int, cache: str) -> dict:
+def _scaling_child_run(cpus: int, cache: str, rows: int, runs: int | None = None) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
-        SPARK_GRAFT_BENCH_ROWS=str(SCALING_ROWS),
+        SPARK_GRAFT_BENCH_ROWS=str(rows),
         SPARK_GRAFT_SEQ_CACHE=cache,
         SPARK_GRAFT_SHUFFLE_PARTITIONS="64",
         SPARK_GRAFT_MAX_PARTITION_BYTES="67108864",
     )
+    if runs is not None:
+        env["SPARK_GRAFT_SCALING_RUNS"] = str(runs)
     # pin the whole child (JVM + python workers) to exactly `cpus`
     # cores — local[N] alone still lets the JVM feed threads borrow
     # idle cores, flattering the small configuration
@@ -423,7 +436,13 @@ def _scaling_child_run(cpus: int, cache: str) -> dict:
     return _run_child(args, env=env)
 
 
-def run_scaling(n_small: int = 8) -> dict:
+def run_scaling(
+    n_small: int = 8,
+    rows: int | None = None,
+    passes: int | None = None,
+    runs: int | None = None,
+    calibrate: bool = True,
+) -> dict:
     """Same job, two parallelism levels, fresh pinned JVM each, min-of-k,
     plus the hardware calibration at the same core counts.
 
@@ -437,22 +456,29 @@ def run_scaling(n_small: int = 8) -> dict:
     probe's per-core md5 speed was measured dropping 74k -> 31k/s within
     one suite), and a sequential all-N-then-all-4N order lets that drift
     land entirely on one side of the ratio."""
-    cache = f"/tmp/nginx_log_spark_bench/seq_{SCALING_ROWS}.parquet"
+    rows = rows or SCALING_ROWS
+    cache = f"/tmp/nginx_log_spark_bench/seq_{rows}.parquet"
     if not Path(cache, "_SUCCESS").exists():
         # generate once, parent-side, with 128 files so BOTH children read
         # the identical layout with enough splits for 4N cores
         from nginx_log_spark.datagen import write_sequences
 
         spark = _get_spark(CPUS)
-        write_sequences(spark, SCALING_ROWS, cache, partitions=128)
+        write_sequences(spark, rows, cache, partitions=128)
         spark.stop()
 
     n_big = n_small * 4
-    passes = int(os.environ.get("SPARK_GRAFT_SCALING_PASSES", "2"))
+    passes = passes or int(os.environ.get("SPARK_GRAFT_SCALING_PASSES", "2"))
+    max_passes = int(os.environ.get("SPARK_GRAFT_SCALING_MAX_PASSES", "4"))
+    wall_cap = int(os.environ.get("SPARK_GRAFT_SCALING_WALL_CAP_SEC", "480"))
+    t0 = time.monotonic()
     out: dict[int, dict] = {}
-    for p in range(passes):
+    pass_mins: dict[int, list[float]] = {n_small: [], n_big: []}
+
+    def one_pass() -> None:
         for cpus in (n_small, n_big):
-            payload = _scaling_child_run(cpus, cache)
+            payload = _scaling_child_run(cpus, cache, rows, runs)
+            pass_mins[cpus].append(payload["sec"])
             prev = out.get(cpus)
             if prev is None or payload["sec"] < prev["sec"]:
                 payload["runs"] = (prev or payload)["runs"] + (
@@ -461,11 +487,29 @@ def run_scaling(n_small: int = 8) -> dict:
                 out[cpus] = payload
             else:
                 prev["runs"] += payload["runs"]
+
+    for _ in range(passes):
+        one_pass()
+    # variance-adaptive retries: if a level's per-pass minima disagree by
+    # >30% the box mood shifted mid-measurement — take another interleaved
+    # pass (bounded by max_passes and the wall cap). This is a measurement-
+    # quality criterion, never a retry-until-target.
+    def noisy() -> bool:
+        return any(
+            len(v) >= 2 and max(v) / min(v) > 1.3 for v in pass_mins.values()
+        )
+
+    while (
+        noisy()
+        and len(pass_mins[n_small]) < max_passes
+        and time.monotonic() - t0 < wall_cap
+    ):
+        one_pass()
     t_small, t_big = out[n_small]["sec"], out[n_big]["sec"]
     rows = out[n_small]["rows"]
     eff = round((t_small / t_big) / 4.0, 3)
-    calib = run_calibration(n_small)
-    kernel_eff = calib["kernel"]["efficiency"]
+    calib = run_calibration(n_small) if calibrate else {}
+    kernel_eff = calib.get("kernel", {}).get("efficiency")
     return {
         "metric": "scaling efficiency local[N] -> local[4N]",
         "value": eff,
@@ -477,6 +521,8 @@ def run_scaling(n_small: int = 8) -> dict:
         "rows": rows,
         "lines_per_sec_small": int(rows / t_small),
         "lines_per_sec_big": int(rows / t_big),
+        # per-pass minima per level — the box-mood drift is visible here
+        "pass_mins": {str(k): v for k, v in pass_mins.items()},
         "calibration": calib,
         # raw efficiency divided by the no-Spark parse-kernel ceiling at the
         # same core counts: the share attributable to the ENGINE, not the

@@ -27,6 +27,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--no-color", action="store_true", help="strip ANSI colors")
     ap.add_argument("--no-echo", action="store_true",
                     help="skip the stderr echo of rejected lines")
+    ap.add_argument("--paths", action="store_true",
+                    help="extension: append the top method/path table")
+    ap.add_argument("--bursts", action="store_true",
+                    help="extension: append per-minute 5xx burst z-scores")
     args = ap.parse_args(argv)
 
     from nginx_log_spark.parse import parse_lines, parse_sequences
@@ -55,12 +59,26 @@ def main(argv: list[str] | None = None) -> int:
         for r in parsed.filter(~F.col("valid")).select(echo_col).toLocalIterator():
             print(r[0], file=sys.stderr)
 
+    valid = parsed.filter(F.col("valid"))
     sys.stdout.write(
-        render_full_report(
-            parsed.filter(F.col("valid")), k=args.top,
-            width=args.width, color=not args.no_color,
-        )
+        render_full_report(valid, k=args.top, width=args.width, color=not args.no_color)
     )
+    # extension reports (off by default — the parity output above stays
+    # byte-identical to the C tool, tests/test_golden_c.py)
+    if args.paths or args.bursts:
+        from nginx_log_spark.reports.reports import error_burst_zscore, method_path_stats
+
+        if args.paths:
+            pdf = method_path_stats(valid, args.top).toPandas()
+            sys.stdout.write("\n== method/path (extension) ==\n")
+            sys.stdout.write(pdf.to_string(index=False) + "\n")
+        if args.bursts:
+            pdf = (
+                error_burst_zscore(valid)
+                .orderBy(F.desc("z")).limit(args.top).toPandas()
+            )
+            sys.stdout.write("\n== 5xx burst z-scores (extension) ==\n")
+            sys.stdout.write(pdf.to_string(index=False) + "\n")
     sys.stdout.flush()
     spark.stop()
     return 0

@@ -231,28 +231,9 @@ ORDER BY hits DESC, method, path LIMIT 100
 
 @_register("log_method_path_stats", _METHOD_PATH_O)
 def log_method_path_stats(spark, sf):
-    """Top query-less URL paths by hits with bytes + 5xx counts — the
-    request-line decomposition the reference never does (it keys the whole
-    line, c/main.c:463); split is a scan-speed projection, top-K plans
-    TakeOrderedAndProject."""
-    v = _valid_logs(spark, sf)
-    arr = F.split(F.col("request"), " ")
-    base = v.select(
-        arr.getItem(0).alias("method"),
-        F.split(arr.getItem(1), r"\?").getItem(0).alias("path"),
-        "body_bytes_sent",
-        F.when(F.col("status").startswith("5"), 1).otherwise(0).alias("e5"),
-    )
-    return (
-        base.groupBy("method", "path")
-        .agg(
-            F.count(F.lit(1)).alias("hits"),
-            F.sum("body_bytes_sent").alias("bytes"),
-            F.sum("e5").cast("long").alias("n_5xx"),
-        )
-        .orderBy(F.desc("hits"), F.asc("method"), F.asc("path"))
-        .limit(100)
-    )
+    """Top query-less URL paths by hits with bytes + 5xx counts
+    (reports/reports.method_path_stats)."""
+    return R.method_path_stats(_valid_logs(spark, sf), 100)
 
 
 _BURST_O = f"""{_V},

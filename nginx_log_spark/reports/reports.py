@@ -220,6 +220,30 @@ def error_burst_zscore(
     )
 
 
+def method_path_stats(parsed: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Top query-less URL paths by hits with bytes + 5xx counts — the
+    request-line decomposition the reference never does (it keys the whole
+    request line, c/main.c:463). Scan-speed split projection; top-K plans
+    TakeOrderedAndProject."""
+    arr = F.split(F.col("request"), " ")
+    base = parsed.select(
+        arr.getItem(0).alias("method"),
+        F.split(arr.getItem(1), r"\?").getItem(0).alias("path"),
+        "body_bytes_sent",
+        F.when(F.col("status").startswith("5"), 1).otherwise(0).alias("e5"),
+    )
+    return (
+        base.groupBy("method", "path")
+        .agg(
+            F.count(F.lit(1)).alias("hits"),
+            F.sum("body_bytes_sent").alias("bytes"),
+            F.sum("e5").cast("long").alias("n_5xx"),
+        )
+        .orderBy(F.desc("hits"), F.asc("method"), F.asc("path"))
+        .limit(k)
+    )
+
+
 _FUSED_DIMS = [
     "top_ips", "top_users", "top_xff", "top_requests", "top_uas",
     "top_referers", "top_times", "status_counts", "hourly", "bad_code",

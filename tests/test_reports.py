@@ -235,3 +235,28 @@ def test_fused_reports_arrow_matches_fused(spark):
         a = jvm[c].fillna("<N>") if jvm[c].dtype == object else jvm[c].fillna(-1)
         b = arr[c].fillna("<N>") if arr[c].dtype == object else arr[c].fillna(-1)
         assert list(a) == list(b), c
+
+
+def test_cli_extension_flags(tmp_path):
+    """--paths/--bursts append extension tables after the parity report
+    (subprocess: the CLI owns and stops its own SparkSession)."""
+    import subprocess
+    import sys
+
+    lines = [
+        f'10.0.0.{i % 5} - - [10/Oct/2000:13:{i % 60:02d}:01 +0000] '
+        f'"GET /api/x{i % 3}?q={i} HTTP/1.1" {"500" if i % 7 == 0 else "200"} '
+        f'{100 + i} "-" "curl/8" "-"'
+        for i in range(120)
+    ]
+    log = tmp_path / "a.log"
+    log.write_text("\n".join(lines) + "\n")
+    r = subprocess.run(
+        [sys.executable, "-m", "nginx_log_spark.cli", str(log),
+         "--paths", "--bursts", "--no-color", "--no-echo", "--master", "local[4]"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert "== method/path (extension) ==" in r.stdout
+    assert "/api/x0" in r.stdout and "GET" in r.stdout
+    assert "== 5xx burst z-scores (extension) ==" in r.stdout
