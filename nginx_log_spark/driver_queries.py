@@ -506,6 +506,96 @@ def events_sessionization(spark, sf):
     )
 
 
+# classic event-analytics funnel: first 'view', then first 'click' AFTER
+# it, then first 'purchase' after that. Every stage is a groupBy or join
+# on user_id — one uniform-key partitioning reused across all three steps
+_FUNNEL_O = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+s1 AS (SELECT user_id, MIN(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(us) AS t2 FROM e JOIN s1 USING (user_id)
+       WHERE event_type = 'click' AND us > t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(us) AS t3 FROM e JOIN s2 USING (user_id)
+       WHERE event_type = 'purchase' AND us > t2 GROUP BY e.user_id)
+SELECT s1.user_id, t1, t2, t3
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+
+@_register("events_funnel", _FUNNEL_O)
+def events_funnel(spark, sf):
+    """Ordered conversion funnel: per user the first 'view', the first
+    'click' strictly after it, the first 'purchase' strictly after that
+    (nulls where the user never converts). All stages shuffle on the same
+    uniform user_id key, so the plan reuses one partitioning end to end."""
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_type",
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("us").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("us") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("us").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("us") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("us").alias("t3"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select("user_id", "t1", "t2", "t3")
+    )
+
+
+# weekly retention cohorts: cohort = the user's first-event week; the cell
+# (cohort, offset) counts distinct users active offset weeks later. Two
+# uniform-key aggs + one broadcast-size join — no wide shuffle
+_RETENTION_O = """
+WITH e AS (
+  SELECT user_id, date_trunc('week', ts) AS wk FROM events
+),
+c AS (SELECT user_id, MIN(wk) AS cohort FROM e GROUP BY user_id),
+a AS (SELECT DISTINCT user_id, wk FROM e)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('week', cohort, wk) AS INT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM a JOIN c USING (user_id)
+GROUP BY cohort, week_offset
+"""
+
+
+@_register("events_retention", _RETENTION_O)
+def events_retention(spark, sf):
+    """Weekly retention cohorts — distinct active users per (first-event
+    week, week offset). Both aggregations key on user_id / (user_id, week)
+    — uniform keys; the final rollup output is O(weeks^2) rows."""
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "user_id", F.date_trunc("week", F.col("ts").cast("timestamp")).alias("wk")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    active = ev.distinct()
+    return (
+        active.join(cohort, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            # weeks are exact 7-day buckets after date_trunc, so the
+            # offset is integral by construction
+            ((F.unix_date(F.to_date("wk")) - F.unix_date(F.to_date("cohort"))) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 _TOPK_PER_USER = """
 WITH r AS (
   SELECT user_id, event_id, value,
