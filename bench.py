@@ -470,7 +470,7 @@ def run_scaling(
     n_big = n_small * 4
     passes = passes or int(os.environ.get("SPARK_GRAFT_SCALING_PASSES", "2"))
     max_passes = int(os.environ.get("SPARK_GRAFT_SCALING_MAX_PASSES", "4"))
-    wall_cap = int(os.environ.get("SPARK_GRAFT_SCALING_WALL_CAP_SEC", "480"))
+    wall_cap = int(os.environ.get("SPARK_GRAFT_SCALING_WALL_CAP_SEC", "360"))
     t0 = time.monotonic()
     out: dict[int, dict] = {}
     pass_mins: dict[int, list[float]] = {n_small: [], n_big: []}

@@ -260,3 +260,68 @@ def test_cli_extension_flags(tmp_path):
     assert "== method/path (extension) ==" in r.stdout
     assert "/api/x0" in r.stdout and "GET" in r.stdout
     assert "== 5xx burst z-scores (extension) ==" in r.stdout
+
+
+def test_two_phase_rank_equals_single_window_semantics(spark):
+    """Randomized partials with dense count ties: the two-phase bucketed
+    top-K must reproduce the one-window reference exactly for every row
+    inside the top-k cut, and never pull an outside row under the cut."""
+    import random
+
+    import pandas as pd
+
+    from nginx_log_spark.reports.reports import _rank_partials
+
+    rng = random.Random(7)
+    rows = []
+    for dim in range(10):
+        nkeys = 150 if dim != 9 else 0
+        for i in range(nkeys):
+            # heavy ties: counts drawn from a tiny range
+            rows.append((dim, f"k{rng.randrange(120):03d}_{i:04d}",
+                         rng.randrange(1, 6), rng.randrange(100, 105)))
+    for code in ("404", "500"):
+        for i in range(60):
+            rows.append((9, f"{code}\x01req{i % 40:03d}",
+                         rng.randrange(1, 4), rng.randrange(10, 13)))
+    partials = spark.createDataFrame(
+        rows, "dim_id int, key0 string, cnt long, bytes long"
+    )
+    K = 20
+    got = _rank_partials(partials, K).toPandas()
+
+    # pandas reference: the original single-window semantics
+    pdf = pd.DataFrame(rows, columns=["dim_id", "key0", "cnt", "bytes"])
+    agg = pdf.groupby(["dim_id", "key0"], as_index=False).sum()
+    agg["sect"] = agg.apply(
+        lambda r: r.key0[:3] if r.dim_id == 9 else "", axis=1
+    )
+    ref = {}
+    for (dim, sect), g in agg.groupby(["dim_id", "sect"]):
+        g = g.sort_values(["cnt", "key0"], ascending=[False, True]).reset_index(drop=True)
+        g["rn"] = g.index + 1
+        gb = g.sort_values(["bytes", "key0"], ascending=[False, True]).reset_index(drop=True)
+        rnb = {k: i + 1 for i, k in enumerate(gb.key0)}
+        for _, r in g.iterrows():
+            ref[(dim, r.key0)] = (
+                int(r.cnt), int(r.bytes), int(r.rn), rnb[r.key0],
+                int(g.cnt.sum()), int(g.bytes.sum()), len(g),
+            )
+    kept_ref = {k for k, v in ref.items() if v[2] <= K or (k[0] == 3 and v[3] <= K)}
+
+    got_keys = set()
+    for _, r in got.iterrows():
+        key0 = r.key if r.dim_id != 9 else f"{r.key}\x01{r.key2}"
+        got_keys.add((int(r.dim_id), key0))
+        cnt, byt, rn, rnb, st, sb, sk = ref[(int(r.dim_id), key0)]
+        assert (int(r.cnt), int(r.bytes)) == (cnt, byt)
+        assert (int(r.section_total), int(r.section_bytes), int(r.section_keys)) == (st, sb, sk)
+        if rn <= K:
+            assert int(r.rn) == rn
+        else:
+            assert int(r.rn) > K  # never pulled under the cut
+        if rnb <= K:
+            assert int(r.rn_bytes) == rnb
+        else:
+            assert int(r.rn_bytes) > K
+    assert got_keys == kept_ref
