@@ -211,6 +211,101 @@ def log_hourly_traffic(spark, sf):
     )
 
 
+# response-size histogram in power-of-two buckets. FP discipline: the
+# bucket is length(bin(v)) - 1 — pure integer/string ops, immune to the
+# floor(log2(double)) boundary drift two libm implementations can disagree on
+_BYTES_HIST_O = f"""{_V},
+b AS (
+  SELECT CASE WHEN body_bytes_sent <= 0 THEN 0
+         ELSE length(bin(body_bytes_sent)) - 1 END AS bucket
+  FROM v
+)
+SELECT bucket,
+  CASE WHEN bucket = 0 THEN 0 ELSE (1::BIGINT << bucket) END AS lo,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  round(COUNT(*) * 100.0 / SUM(COUNT(*)) OVER (), 2) AS pct
+FROM b GROUP BY bucket
+"""
+
+
+@_register("log_bytes_histogram", _BYTES_HIST_O)
+def log_bytes_histogram(spark, sf):
+    """Power-of-two response-size histogram — integer-exact bucketing via
+    bin()-length (no floating log2), pct over the ~35-row aggregate."""
+    v = _valid_logs(spark, sf)
+    bucket = F.when(F.col("body_bytes_sent") <= 0, 0).otherwise(
+        F.length(F.bin(F.col("body_bytes_sent"))) - 1
+    )
+    agg = v.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window as W
+
+    return agg.select(
+        "bucket",
+        F.expr("CASE WHEN bucket = 0 THEN 0L ELSE shiftleft(1L, bucket) END").alias("lo"),
+        "n",
+        F.round(F.col("n") * 100.0 / F.sum("n").over(W.partitionBy()), 2).alias("pct"),
+    )
+
+
+# bot-suspect detector: per-IP request profile + the UA bot rules
+# (enrich/ua.py rules 1-2 — later rules only assign non-bot classes, so
+# bot-ness reduces to these two regexes in both engines)
+_BOT_O = f"""{_V},
+c AS (
+  SELECT remote_addr, http_user_agent, substr(time_local, 1, 17) AS minute,
+    (regexp_matches(http_user_agent,
+       '(?i)(googlebot|bingbot|yandexbot|ahrefsbot|duckduckbot|baiduspider)')
+     OR regexp_matches(http_user_agent, '(?i)(bot|spider|crawler|slurp)')) AS is_bot
+  FROM v
+),
+p AS (
+  SELECT remote_addr,
+    CAST(COUNT(*) AS BIGINT) AS hits,
+    CAST(COUNT(DISTINCT http_user_agent) AS BIGINT) AS n_ua,
+    CAST(SUM(CASE WHEN is_bot THEN 1 ELSE 0 END) AS BIGINT) AS bot_hits,
+    CAST(COUNT(DISTINCT minute) AS BIGINT) AS n_minutes
+  FROM c GROUP BY remote_addr
+)
+SELECT remote_addr, hits, n_ua, bot_hits, n_minutes,
+  round(bot_hits / hits, 6) AS bot_frac,
+  round(hits / n_minutes, 6) AS hits_per_min,
+  (round(bot_hits / hits, 6) >= 0.5
+   OR (round(hits / n_minutes, 6) > 5.0 AND n_ua = 1)) AS suspect
+FROM p
+"""
+
+
+@_register("log_bot_suspects", _BOT_O)
+def log_bot_suspects(spark, sf):
+    """Per-IP bot profile: hits, UA diversity, bot-UA fraction, request
+    rate per active minute, and a suspect flag (mostly-bot UA, or
+    single-UA high-rate). One uniform groupBy on remote_addr; the UA
+    classification is the enrich/ua.py rule expression, scan-speed."""
+    from nginx_log_spark.enrich.ua import classify_ua_col
+
+    v = _valid_logs(spark, sf)
+    base = v.select(
+        "remote_addr",
+        "http_user_agent",
+        F.substring("time_local", 1, 17).alias("minute"),
+        (classify_ua_col(F.col("http_user_agent")) == "bot").alias("is_bot"),
+    )
+    p = base.groupBy("remote_addr").agg(
+        F.count(F.lit(1)).alias("hits"),
+        F.countDistinct("http_user_agent").alias("n_ua"),
+        F.sum(F.col("is_bot").cast("long")).alias("bot_hits"),
+        F.countDistinct("minute").alias("n_minutes"),
+    )
+    bot_frac = F.round(F.col("bot_hits") / F.col("hits"), 6)
+    rate = F.round(F.col("hits") / F.col("n_minutes"), 6)
+    return p.select(
+        "remote_addr", "hits", "n_ua", "bot_hits", "n_minutes",
+        bot_frac.alias("bot_frac"),
+        rate.alias("hits_per_min"),
+        ((bot_frac >= 0.5) | ((rate > 5.0) & (F.col("n_ua") == 1))).alias("suspect"),
+    )
+
+
 # request-line decomposition: 'GET /path?q HTTP/1.1' -> method + query-less
 # path, rolled up per path — pure projection + one groupBy + TakeOrdered
 _METHOD_PATH_O = f"""{_V},
