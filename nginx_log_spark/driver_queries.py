@@ -1632,6 +1632,40 @@ def log_token_vocab(spark, sf):
     return token_histogram(seq)
 
 
+_BIGRAM_O = f"""{_CTE}
+SELECT ascii(substr(line, i, 1)) AS a, ascii(substr(line, i + 1, 1)) AS b,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (SELECT line, unnest(range(1, length(line))) AS i
+      FROM logs WHERE length(line) >= 2)
+GROUP BY a, b
+ORDER BY cnt DESC, a, b LIMIT 100
+"""
+
+
+@_register("log_token_bigrams", _BIGRAM_O)
+def log_token_bigrams(spark, sf):
+    """Top adjacent-token pairs over the raw token arrays (n-gram LM-style
+    stats straight off the input_hint payload). The explode emits one row
+    per adjacent pair, but the map-side partial agg compresses each
+    partition to <= |V|^2 (here 256^2) keys before any shuffle — the same
+    shape as the token vocab histogram, one dimension up."""
+    seq = parity.events_with_log_columns(spark, sf).select("tokens")
+    pairs = seq.filter(F.size("tokens") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(tokens) - 2), "
+                "i -> struct(tokens[i] as a, tokens[i + 1] as b))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+        .limit(100)
+    )
+
+
 def _u_sql(key_sql: str, seed: str) -> str:
     return (
         f"(('0x' || substr(md5('{seed}' || {key_sql}), 1, 8))::BIGINT"
