@@ -1085,6 +1085,59 @@ def docs_simhash16(spark, sf):
     return simhash16(_docs(spark, sf))
 
 
+# the flagship dedup chain, end-to-end: MinHash-LSH candidates (banded,
+# bucket-capped) -> exact |pairs|-bounded Jaccard verify -> min-id retain
+_JC = "len(list_intersect(sa.s, sb.s))"
+_LSH_DEDUP_O = f"""
+WITH sig AS (SELECT doc_id, {_duck_minhash_cols()} FROM documents),
+bands AS (
+  SELECT doc_id, b.band_idx, b.band_key FROM sig,
+  LATERAL (VALUES (0, mh0::VARCHAR || '#' || mh1::VARCHAR),
+                  (1, mh2::VARCHAR || '#' || mh3::VARCHAR),
+                  (2, mh4::VARCHAR || '#' || mh5::VARCHAR),
+                  (3, mh6::VARCHAR || '#' || mh7::VARCHAR))
+    AS b(band_idx, band_key)
+),
+capped AS (SELECT band_idx, band_key FROM bands
+           GROUP BY 1, 2 HAVING COUNT(*) <= 200),
+bx AS (SELECT bands.* FROM bands JOIN capped USING (band_idx, band_key)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bx a JOIN bx b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+sh AS (
+  SELECT doc_id, list_distinct([substr({_DUCK_NORM}, i, 5)
+    for i in range(1, greatest(length({_DUCK_NORM}) - 4, 1) + 1)]) AS s
+  FROM documents
+),
+pairs AS (
+  SELECT id_a, id_b FROM cand
+  JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+  WHERE round({_JC} / (len(sa.s) + len(sb.s) - {_JC}), 6) >= 0.7
+)
+SELECT d.doc_id, d.source FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id_b = d.doc_id)
+"""
+
+
+@_register("docs_lsh_dedup_keep", _LSH_DEDUP_O)
+def docs_lsh_dedup_keep(spark, sf):
+    """The production dedup pipeline in one query: banded MinHash-LSH
+    candidates (bucket-capped), exact array_intersect Jaccard verify over
+    ONLY the candidates (|pairs|-bounded, no shingle self-join), greedy
+    min-id retention via one left-anti join. Every stage is the 100 TB
+    shape; the oracle replays all three in SQL."""
+    from nginx_log_spark.functions.dedup import verify_pairs_jaccard
+
+    docs = _docs(spark, sf)
+    sigs = minhash_signatures(docs, n_hashes=8, shingle_k=5)
+    cands = lsh_candidate_pairs(sigs, n_hashes=8, band_size=2, max_bucket=200)
+    verified = verify_pairs_jaccard(docs, cands, shingle_k=5, threshold=0.7)
+    return dedup_keep(docs, verified).select("doc_id", "source")
+
+
 _SIMHASH64_ORACLE = rf"""
 WITH h AS (
   SELECT doc_id,

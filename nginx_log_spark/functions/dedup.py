@@ -322,6 +322,35 @@ def simhash_neardup_pairs(
     )
 
 
+def verify_pairs_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact shingle-Jaccard for an explicit candidate-pair list.
+
+    The |pairs|-bounded verify stage of the LSH pipeline: join each pair to
+    its two shingle SETS and compute |A∩B| / |A∪B| with the JVM
+    array_intersect — no shingle explode, no self-join, cost strictly
+    O(|pairs| * doc_len). Returns (id_a, id_b, jaccard) at >= threshold.
+    """
+    sh = with_shingles(df.select(id_col, text_col), text_col, shingle_k).select(
+        F.col(id_col), F.col("_sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb"))
+    joined = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+    common = F.size(F.array_intersect("_sa", "_sb"))
+    jac = F.round(common / (F.size("_sa") + F.size("_sb") - common), 6)
+    return (
+        joined.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def dedup_keep(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Dedup retention: given verified duplicate pairs (id_a < id_b), drop
     every doc that appears as the LARGER side of any pair; keep the rest.

@@ -438,3 +438,22 @@ def test_multiprobe_recall_dominates_single_probe(spark, embs):
         .toPandas().vec_id
     )
     assert full == exact_ids
+
+
+def test_verify_pairs_jaccard_matches_full_join(spark, docs):
+    """array_intersect pair-verify == the explode/self-join Jaccard when
+    fed the complete candidate list."""
+    import itertools
+
+    from nginx_log_spark.functions.dedup import verify_pairs_jaccard
+
+    sub = docs.limit(40)
+    full = ngram_jaccard_pairs(sub, shingle_k=5, threshold=0.3).toPandas()
+    ids = sorted(r[0] for r in sub.select("doc_id").collect())
+    cand = spark.createDataFrame(
+        pd.DataFrame(list(itertools.combinations(ids, 2)), columns=["id_a", "id_b"])
+    )
+    got = verify_pairs_jaccard(sub, cand, shingle_k=5, threshold=0.3).toPandas()
+    key = lambda d: {(r.id_a, r.id_b): r.jaccard for r in d.itertuples()}
+    assert key(got) == key(full)
+    assert len(got) > 0
