@@ -1742,6 +1742,33 @@ def docs_sample_hash(spark, sf):
     )
 
 
+_MIX_O = (
+    """
+WITH t AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS tot
+           FROM documents GROUP BY source),
+m AS (SELECT MIN(tot) AS mn FROM t),
+r AS (SELECT source, mn / tot AS rate FROM t, m)
+SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+WHERE """
+    + _u_sql("CAST(d.doc_id AS VARCHAR)", "mix")
+    + " < rate"
+)
+
+
+@_register("docs_mixture_resample", _MIX_O)
+def docs_mixture_resample(spark, sf):
+    """Closed-loop mixture equalization: every source downsampled to the
+    char volume of the smallest source; rates are exact integer-sum ratios
+    and membership is the deterministic (key, seed) hash — identical
+    sample on any cluster size or engine."""
+    from nginx_log_spark.functions import mixture_resample
+
+    return mixture_resample(
+        _docs(spark, sf), strata_col="source", weight_col="n_chars",
+        key_col="doc_id", seed="mix",
+    ).select("doc_id", "source")
+
+
 _STRAT_RATES = {f"src{k}": ((k * 7) % 10) / 10.0 for k in range(20)}
 _STRAT_CASE = (
     "CASE source "

@@ -32,6 +32,7 @@ from nginx_log_spark.functions.packing import (  # noqa: F401
 from nginx_log_spark.functions.sampling import (  # noqa: F401
     hash_sample,
     hash_uniform,
+    mixture_resample,
     sample_oracle_pred,
     stratified_sample,
     train_val_split,

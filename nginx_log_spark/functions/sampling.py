@@ -56,6 +56,33 @@ def stratified_sample(
     return joined.where(hash_uniform(key_col, seed) < eff).drop("_rate")
 
 
+def mixture_resample(
+    df: DataFrame,
+    strata_col: str = "source",
+    weight_col: str | None = None,
+    key_col: Column | str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Equalize the strata mixture: downsample every stratum to the volume
+    of the smallest one (volume = row count, or sum of ``weight_col``).
+
+    The closed-loop companion to stratified_sample — rates come FROM the
+    data: rate_s = min_total / total_s, an exact ratio of integer sums, so
+    any engine computing the same division gets the same double. Plan
+    shape: one tiny per-stratum aggregate, a 1-row min, a broadcast rate
+    join, then the scan-speed deterministic Bernoulli filter — the fact
+    table never shuffles.
+    """
+    w = F.lit(1).cast("long") if weight_col is None else F.col(weight_col).cast("long")
+    tot = df.groupBy(strata_col).agg(F.sum(w).alias("_tot"))
+    mn = tot.agg(F.min("_tot").alias("_mn"))
+    rates = tot.crossJoin(F.broadcast(mn)).select(
+        strata_col, (F.col("_mn") / F.col("_tot")).alias("_rate")
+    )
+    joined = df.join(F.broadcast(rates), strata_col)
+    return joined.where(hash_uniform(key_col, seed) < F.col("_rate")).drop("_rate")
+
+
 def train_val_split(
     df: DataFrame, val_frac: float, key_col: Column | str, seed: str = "0"
 ) -> DataFrame:
