@@ -1458,6 +1458,45 @@ FROM logs WHERE valid AND request_time IS NOT NULL
 GROUP BY upstream_status"""
 
 
+# slowest endpoints: the path decomposition x the grouped exact-quantile
+# class — the ops-team view the reference's whole-line keying can't give
+_SLOW_O = f"""{parity.duck_ext_cte()}
+SELECT string_split(string_split(request, ' ')[2], '?')[1] AS path,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(quantile_cont(request_time::DOUBLE, 0.95), 6) AS p95,
+       round(MAX(request_time::DOUBLE), 6) AS max_rt
+FROM logs WHERE valid AND request_time IS NOT NULL
+GROUP BY path HAVING COUNT(*) >= 5
+ORDER BY p95 DESC, path LIMIT 50"""
+
+
+@_register("log_slow_paths", _SLOW_O)
+def log_slow_paths(spark, sf):
+    """Slowest query-less URL paths by p95 request_time (extended tail),
+    min 5 samples — grouped sort-based quantiles over the path key."""
+    rt = F.col("request_time").cast("double")
+    parsed = (
+        parity.parsed_ext_log_df(spark, sf)
+        .filter(F.col("valid") & rt.isNotNull())
+    )
+    arr = F.split(F.col("request"), " ")
+    base = parsed.select(
+        F.split(arr.getItem(1), r"\?").getItem(0).alias("path"),
+        rt.alias("_rt"),
+    )
+    return (
+        base.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.percentile("_rt", F.lit(0.95)), 6).alias("p95"),
+            F.round(F.max("_rt"), 6).alias("max_rt"),
+        )
+        .filter(F.col("n") >= 5)
+        .orderBy(F.desc("p95"), F.asc("path"))
+        .limit(50)
+    )
+
+
 @_register("log_request_time_pctl", _PCTL_O)
 def log_request_time_pctl(spark, sf):
     """Exact latency percentiles over the extended tail's request_time —

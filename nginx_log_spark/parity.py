@@ -185,8 +185,8 @@ def duck_ext_cte() -> str:
     cols = ", ".join(
         f"{e[name]} AS {name}"
         for name in (
-            "doc_id", "valid", "host", "request_length", "bytes_sent",
-            "upstream_addr", "upstream_status", "request_time",
+            "doc_id", "valid", "request", "host", "request_length",
+            "bytes_sent", "upstream_addr", "upstream_status", "request_time",
             "upstream_response_time", "upstream_connect_time",
             "upstream_header_time",
         )
