@@ -9,10 +9,12 @@ from nginx_log_spark.functions.dedup import (  # noqa: F401
     simhash64,
     simhash_neardup_pairs,
     split_contamination,
+    verify_pairs_jaccard,
 )
 from nginx_log_spark.functions.similarity import (  # noqa: F401
     cosine_topk,
     ivf_ann_topk,
+    ivf_ann_topk_indexed,
     ivf_assign,
     embedding_neardup_pairs,
     lsh_ann_topk,

@@ -178,17 +178,22 @@ def lsh_ann_topk_prebucketed(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_planes: int = 6,
+    probe_bits: int = 0,
 ) -> DataFrame:
     """ANN over a pre-bucketed table: the bucket predicate is a PARTITION
     filter — Spark prunes every other bucket's files at planning time, so
-    the scan cost is |bucket|, not |table| (verify via
-    .explain: PartitionFilters [(_bucket = N)])."""
-    qbucket = _query_bucket(query_vec, n_planes)
+    the scan cost is |probed buckets|, not |table| (verify via
+    .explain: PartitionFilters [_bucket IN (...)]).
+
+    probe_bits=0 probes only the query's bucket; probe_bits>=1 is
+    multi-probe (the bucket plus all <=probe_bits-flip neighbors) — still
+    an explicit IN-list, so pruning survives."""
+    probes = multiprobe_buckets(query_vec, n_planes, probe_bits)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     sim = cosine_sim(F.col(vec_col).cast("array<double>"), q)
     return (
         spark.read.parquet(path)
-        .filter(F.col("_bucket") == qbucket)
+        .filter(F.col("_bucket").isin(probes))
         .select(F.col(id_col), F.round(sim, 6).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
@@ -243,16 +248,20 @@ def seed_centroids(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> list[tuple[int, list[float]]]:
-    """Deterministic seed centroids: the n_centroids smallest-id vectors.
-    A production index would refine these with k-means rounds (assign via
-    ivf_assign, then groupBy(cell).agg(avg per dim) — the same join-free
-    shapes); the seed rule keeps the oracle reproducible in SQL."""
+    """Deterministic seed centroids: the n_centroids smallest-id vectors
+    (by sort order, so sparse or non-zero-based id spaces still yield
+    exactly n_centroids). A production index would refine these with
+    k-means rounds (assign via ivf_assign, then groupBy(cell).agg(avg per
+    dim) — the same join-free shapes); the seed rule keeps the oracle
+    reproducible in SQL."""
     rows = (
         df.select(id_col, vec_col)
-        .filter(F.col(id_col) < n_centroids)
         .orderBy(id_col)
+        .limit(n_centroids)
         .collect()
     )
+    if not rows:
+        raise ValueError("seed_centroids: input has no vectors — cannot build an IVF quantizer")
     return [(int(r[0]), list(r[1])) for r in rows]
 
 
@@ -305,6 +314,37 @@ def write_ivf_index(
     return cents
 
 
+def ivf_ann_topk_indexed(
+    spark,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN over a materialized index (write_ivf_index): rank the
+    centroids against the query DRIVER-side (the quantizer is tiny), then
+    read only the n_probe nearest cells — `cell IN (probes)` is a PARTITION
+    filter on the written table, so Spark prunes every unprobed cell's
+    files at planning time and the exact rerank scans |probed cells| rows."""
+    ranked = sorted(
+        ((round(_py_cosine(query_vec, cvec), 6), -cid) for cid, cvec in centroids),
+        reverse=True,
+    )
+    probe = [-negcid for _, negcid in ranked[:n_probe]]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_sim(F.col(vec_col).cast("array<double>"), q)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probe))
+        .select(F.col(id_col), F.round(sim, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
@@ -312,19 +352,25 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     n_planes: int = 4,
     exact: bool = False,
+    dims: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine similarity.
 
     exact=True: full a<b cross join (oracle-checkable; small inputs only).
     exact=False: self-join per LSH bucket — near-identical vectors land in
     the same bucket with high probability, so the join is bucket-local.
+    Pass `dims` for the bucketed path; plan construction runs NO job.
     """
     if exact:
         a, b = df.alias("a"), df.alias("b")
         join_cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
         joined = a.join(b, join_cond)
     else:
-        dims = len(df.select(vec_col).first()[0])
+        if dims is None:
+            raise ValueError(
+                "embedding_neardup_pairs(exact=False) requires dims= — "
+                "inferring it would run a driver-side job at plan-build time"
+            )
         bk = df.withColumn("_bucket", sketch_col(F.col(vec_col), dims, n_planes))
         a, b = bk.alias("a"), bk.alias("b")
         joined = a.join(

@@ -164,12 +164,18 @@ def doc_fingerprint(text: Column) -> Column:
 def winnow_fingerprints(df: DataFrame, text_col: str = "text", k: int = 8, keep: int = 4) -> DataFrame:
     """Winnowing-style k-gram fingerprints: hash every k-char gram, keep the
     ``keep`` smallest hashes per doc (a robust near-dup sketch). All native:
-    sequence -> transform(substring) -> md5 -> array_sort -> slice."""
+    sequence -> transform(substring) -> md5 -> array_sort -> slice.
+
+    The normalized text is projected ONCE (`_wnrm`) before the per-gram
+    lambda — inlining the regex inside the transform would re-run it per
+    array element, O(len^2) regex work per doc (the with_shingles rule)."""
     # dynamic-start substring needs SQL expr (the DSL substring takes literals)
     grams = F.expr(
-        f"transform(sequence(1, greatest(length(regexp_replace(lower({text_col}), '\\\\s+', ' ')) - {k} + 1, 1)), "
-        f"i -> md5(substring(regexp_replace(lower({text_col}), '\\\\s+', ' '), i, {k})))"
+        f"transform(sequence(1, greatest(length(_wnrm) - {k} + 1, 1)), "
+        f"i -> md5(substring(_wnrm, i, {k})))"
     )
-    return df.withColumn(
-        "fingerprints", F.slice(F.array_sort(grams), 1, keep)
+    return (
+        df.withColumn("_wnrm", F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+        .withColumn("fingerprints", F.slice(F.array_sort(grams), 1, keep))
+        .drop("_wnrm")
     )

@@ -50,13 +50,22 @@ STRICT_PATTERN = (
 )
 
 
-def _exact_parse_line(s: str) -> tuple | None:
+# Nim/C++ reference variants accept ANY digit run as the status
+# (main.nim:102-103, c++/main.cpp:154-157); the C tool insists on exactly
+# 3 digits (c/main.c:433-437). C semantics are canonical (BASELINE.json);
+# status_3digit=False selects the Nim/C++ behavior.
+ANYDIGIT_STATUS_PATTERN = STRICT_PATTERN.replace(
+    "(?P<status>[0-9]{3})", "(?P<status>[0-9]+)"
+)
+
+
+def _exact_parse_line(s: str, status_3digit: bool = True) -> tuple | None:
     """EXACT tier: the atomic-group regex (byte-parity with c/main.c)."""
     m = _CORE_RE.match(s)
     if not m:
         return None
     g = m.groups()
-    if len(g[4]) != 3:
+    if status_3digit and len(g[4]) != 3:
         return None
     return g
 
@@ -92,7 +101,7 @@ STRICT_EXT_PATTERN = STRICT_PATTERN[:-1] + (  # strip the trailing $
 )
 
 
-def _exact_parse_line_ext(s: str) -> tuple | None:
+def _exact_parse_line_ext(s: str, status_3digit: bool = True) -> tuple | None:
     """Core fields + extended tail via the C-semantics combinators."""
     from nginx_log_spark.parse import oracle
 
@@ -100,7 +109,7 @@ def _exact_parse_line_ext(s: str) -> tuple | None:
     if not m:
         return None
     g = m.groups()
-    if len(g[4]) != 3:
+    if status_3digit and len(g[4]) != 3:
         return None
     tail = oracle.parse_extended_tail(s, m.end())
     return g + tuple(tail[n] for n in oracle.EXT_FIELDS)
@@ -125,13 +134,18 @@ def _tokens_to_binary(tok: pa.Array) -> pa.BinaryArray:
     )
 
 
-def _parse_binary_lines(lines: pa.BinaryArray, extended: bool = False) -> dict[str, pa.Array]:
+def _parse_binary_lines(
+    lines: pa.BinaryArray, extended: bool = False, status_3digit: bool = True
+) -> dict[str, pa.Array]:
     """BinaryArray of raw lines -> {field: Array} + 'valid' (the full
     two-tier parse). Field arrays are utf8 (latin-1 transcoding for any
     non-UTF8 bytes, matching the pandas path)."""
     names = FIELD_NAMES + (EXT_FIELD_NAMES if extended else [])
     pattern = STRICT_EXT_PATTERN if extended else STRICT_PATTERN
-    fallback = _exact_parse_line_ext if extended else _exact_parse_line
+    if not status_3digit:
+        pattern = pattern.replace("(?P<status>[0-9]{3})", "(?P<status>[0-9]+)")
+    _fb = _exact_parse_line_ext if extended else _exact_parse_line
+    fallback = lambda s: _fb(s, status_3digit)  # noqa: E731
 
     res = pc.extract_regex(lines, pattern=pattern)
     miss = pc.is_null(res)
@@ -207,6 +221,7 @@ def parse_sequences_arrow(
     extended: bool = False,
     fields: list[str] | None = None,
     keep_cols: list[str] | None = None,
+    status_3digit: bool = True,
 ) -> DataFrame:
     """(doc_id, tokens, n_tok, source, ...) -> same + 9 fields + valid
     (+ the 9 nullable extended-tail fields with extended=True).
@@ -241,7 +256,7 @@ def parse_sequences_arrow(
         for b in batches:
             tok = b.column(b.schema.get_field_index(tok_name))
             lines = _tokens_to_binary(tok)
-            parsed = _parse_binary_lines(lines, extended)
+            parsed = _parse_binary_lines(lines, extended, status_3digit)
             arrays = [b.column(b.schema.get_field_index(k)) for k in keep]
             arrays += [parsed[n] for n, _ in out_fields]
             names = keep + [n for n, _ in out_fields]
@@ -251,7 +266,8 @@ def parse_sequences_arrow(
 
 
 def parse_lines_arrow(
-    df: DataFrame, line_col: str = "line", extended: bool = False
+    df: DataFrame, line_col: str = "line", extended: bool = False,
+    status_3digit: bool = True,
 ) -> DataFrame:
     """Raw string-line variant (for spark.read.text inputs)."""
     out_fields = _out_arrow_fields(extended)
@@ -263,7 +279,7 @@ def parse_lines_arrow(
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
             lines = pc.cast(col, pa.binary())
-            parsed = _parse_binary_lines(lines, extended)
+            parsed = _parse_binary_lines(lines, extended, status_3digit)
             arrays = list(b.columns) + [parsed[n] for n, _ in out_fields]
             names = list(b.schema.names) + [n for n, _ in out_fields]
             yield pa.RecordBatch.from_arrays(arrays, names)

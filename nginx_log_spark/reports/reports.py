@@ -90,24 +90,39 @@ def bad_code_breakdown(parsed: DataFrame, k: int = TOP_K) -> DataFrame:
     print_code_long c/main.c:323-360).
 
     One groupBy(status, request) replaces the reference's 999 sub-tables;
-    the per-section top-K is the one genuinely windowed operator. Output is
-    ordered (status asc, cnt desc, request asc) like the section loop at
-    c/main.c:517-523.
+    the per-section top-K is the one genuinely windowed operator — ranked
+    two-phase (pre-rank within (status, hash-bucket of request), exact rank
+    on the ≤ k·buckets survivors) so no single task ever sorts a hot status
+    code's full aggregate, matching the fused path's scale shape
+    (_rank_partials). Section totals come from a ~10²-row broadcast
+    aggregate, not the big window. Output is ordered (status asc, cnt desc,
+    request asc) like the section loop at c/main.c:517-523.
     """
     agg = (
         parsed.filter(F.col("status") != "200")
         .groupBy("status", "request")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    sec = W.partitionBy("status")
     tot = parsed.agg(F.count(F.lit(1)).alias("_tot"))
+    sect = agg.groupBy(F.col("status").alias("_ss")).agg(
+        F.sum("cnt").alias("section_total")
+    )
+    buckets = 64
+    pre_w = W.partitionBy("status", F.pmod(F.xxhash64("request"), F.lit(buckets)))
+    sec = W.partitionBy("status")
     ranked = (
-        agg.withColumn("section_total", F.sum("cnt").over(sec))
+        agg.withColumn(
+            "_rn1", F.row_number().over(pre_w.orderBy(F.desc("cnt"), F.asc("request")))
+        )
+        .filter(F.col("_rn1") <= k)
+        .drop("_rn1")
         .withColumn(
             "rn",
             F.row_number().over(sec.orderBy(F.desc("cnt"), F.asc("request"))),
         )
         .filter(F.col("rn") <= k)
+        .join(F.broadcast(sect), F.col("status") == F.col("_ss"))
+        .drop("_ss")
     )
     return (
         ranked.crossJoin(F.broadcast(tot))
@@ -309,13 +324,15 @@ def _rank_partials(agg: DataFrame, k: int, buckets: int = 64) -> DataFrame:
     whole per-second time dimension (millions of aggregated rows at scale)
     in ONE task — the classic anti-scale single-partition window. Phase 1
     pre-ranks within (dim, section, hash-bucket of the key): any global
-    top-k row is top-k in its own bucket (bucket ⊆ dim), so the survivors
-    (≤ k·buckets per dim) provably contain the answer; phase 2 computes the
-    EXACT ranks on that small set. Rows kept only via the bytes ranking
-    (dim 3) can carry a count-rank underestimated vs the full set, but
-    never below k+1 — the global count top-k all survive and outrank them —
-    so every `rn <= k` / `rn_bytes <= k` consumer sees identical rows and
-    ranks as the one-window plan.
+    top-k row (by count OR by bytes) is top-k in its own bucket
+    (bucket ⊆ dim), so the survivors (≤ 2·k·buckets per dim) provably
+    contain both answers; phase 2 computes the EXACT ranks on that small
+    set. Phase 1 retains the per-bucket bytes top-k for EVERY dim (not
+    just the request dim): a row kept only via one ranking can carry the
+    other rank underestimated vs the full set, but never below k+1 — the
+    global top-k of that ranking all survive and outrank it — so every
+    `rn <= k` / `rn_bytes <= k` consumer sees identical rows and ranks as
+    the one-window plan, for every dim.
 
     Section totals (header totals / per-code subtotals, c/main.c:487-494,
     :326-331) come from a separate ~10²-row aggregate broadcast back, not
@@ -351,7 +368,7 @@ def _rank_partials(agg: DataFrame, k: int, buckets: int = 64) -> DataFrame:
         .withColumn(
             "_rb1", F.row_number().over(wp.orderBy(F.desc("bytes"), F.asc("key0")))
         )
-        .filter((F.col("_rn1") <= k) | ((F.col("dim_id") == 3) & (F.col("_rb1") <= k)))
+        .filter((F.col("_rn1") <= k) | (F.col("_rb1") <= k))
         .drop("_rn1", "_rb1")
     )
     w = W.partitionBy("dim_id", sect_key)

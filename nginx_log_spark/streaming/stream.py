@@ -66,7 +66,9 @@ def stream_sessionize(
     groupBy(user_id, start_us).agg(max(end_us), max(n_events))
     (sessionize_fold). Requires per-user batch arrival in event-time order
     (file source with time-ranged files; a real deployment uses Kafka
-    partition time-ordering or a watermark-delayed reorder).
+    partition time-ordering or a watermark-delayed reorder) — a late batch
+    is DETECTED against the stored state and raises, so disorder fails
+    loudly instead of corrupting sessions.
 
     Scale shape: state is O(active users), shuffled once by the group key;
     each batch's work is vectorized per group; no global ordering anywhere.
@@ -82,6 +84,15 @@ def stream_sessionize(
             last_us, start_us, n0 = state.get
         else:
             last_us, start_us, n0 = None, None, 0
+        if last_us is not None and us[0] < last_us:
+            # a late batch would produce a negative gap and silently merge/
+            # corrupt sessions (the monotone-growth invariant sessionize_fold
+            # depends on) — disorder must fail loudly, not fold quietly
+            raise ValueError(
+                f"stream_sessionize: out-of-order batch for user {key[0]}: "
+                f"event at {int(us[0])}us precedes session state at {int(last_us)}us "
+                "(per-user batches must arrive in event-time order)"
+            )
         prev = np.empty_like(us)
         prev[0] = last_us if last_us is not None else 0
         prev[1:] = us[:-1]

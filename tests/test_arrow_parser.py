@@ -335,3 +335,39 @@ def test_parse_fields_pruning_unknown_field_raises(spark, sf_dir):
     seq = events_with_log_columns(spark, sf_dir).select("tokens").limit(10)
     with _pytest.raises(ValueError, match="unknown parsed fields"):
         parse_sequences(seq, fields=["nope"])
+
+
+def test_status_anydigit_flag_nim_semantics(spark):
+    """status_3digit=False selects the Nim/C++ reference behavior (any
+    digit run accepted, main.nim:102-103 / c++/main.cpp:154-157); the
+    default stays the canonical C 3-digit gate (c/main.c:433-437). Fuzzed
+    across digit-run lengths 1..6 on both the strict (RE2) and exact
+    (fallback-forcing double-space) tiers."""
+    from nginx_log_spark.parse import parse_lines_arrow
+
+    def mkline(status: str, strict: bool) -> str:
+        sep = " " if strict else "  "
+        return (
+            f'10.0.0.1 -{sep}- [10/Oct/2000:13:55:36 +0000] '
+            f'"GET /x HTTP/1.1" {status} 42 "-" "ua" "-"'
+        )
+
+    rows = []
+    for n in range(1, 7):
+        status = "5" * n
+        rows.append((f"s{n}", mkline(status, True), status, n))
+        rows.append((f"e{n}", mkline(status, False), status, n))
+    df = spark.createDataFrame(
+        [(rid, line) for rid, line, _, _ in rows], "doc_id string, line string"
+    )
+    c_mode = {
+        r["doc_id"]: (r["valid"], r["status"])
+        for r in parse_lines_arrow(df).collect()
+    }
+    nim_mode = {
+        r["doc_id"]: (r["valid"], r["status"])
+        for r in parse_lines_arrow(df, status_3digit=False).collect()
+    }
+    for rid, _, status, n in rows:
+        assert c_mode[rid] == ((n == 3), status if n == 3 else c_mode[rid][1])
+        assert nim_mode[rid] == (True, status)

@@ -122,3 +122,20 @@ def test_rank_partials_has_no_per_dim_single_window(spark):
     assert "pmod" in p and "xxhash64" in p
     # section totals ride a broadcast join, not window sums over the big set
     assert "BroadcastExchange" in p
+
+
+def test_bad_code_breakdown_two_phase_rank(spark):
+    """The standalone bad_code_breakdown must share the fused path's scale
+    shape: phase-1 ranking partitions by (status, hash-bucket of request) —
+    never a single task sorting a hot status's whole aggregate — and the
+    section totals ride a broadcast join, not the big window."""
+    from nginx_log_spark.reports import reports as R
+
+    parsed = spark.createDataFrame(
+        [(f"4{i % 2:02d}", f"GET /r{i} HTTP/1.1") for i in range(200)],
+        "status string, request string",
+    )
+    df = R.bad_code_breakdown(parsed, 10)
+    p = plan(df)
+    assert "pmod" in p and "xxhash64" in p
+    assert "BroadcastExchange" in p

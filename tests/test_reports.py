@@ -275,7 +275,10 @@ def test_two_phase_rank_equals_single_window_semantics(spark):
     rng = random.Random(7)
     rows = []
     for dim in range(10):
-        nkeys = 150 if dim != 9 else 0
+        # dims 2 and 5 get enough keys that phase 1 genuinely PRUNES
+        # (keys/bucket >> K) — the pruning path must still yield exact
+        # ranks for both orderings on every dim
+        nkeys = 0 if dim == 9 else (2500 if dim in (2, 5) else 150)
         for i in range(nkeys):
             # heavy ties: counts drawn from a tiny range
             rows.append((dim, f"k{rng.randrange(120):03d}_{i:04d}",

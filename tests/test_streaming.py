@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from nginx_log_spark.datagen import loggen
@@ -151,3 +152,49 @@ def test_stream_sessionize_crosses_batches(spark, tmp_path):
         columns=["user_id", "start_us", "end_us", "n_events"],
     )
     pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
+
+
+def test_stream_sessionize_rejects_out_of_order_batch(spark, tmp_path):
+    """A late batch (event time < stored session state) must FAIL the query
+    loudly — silent negative gaps would merge/corrupt sessions and break
+    the monotone-growth invariant sessionize_fold depends on."""
+    import os
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from nginx_log_spark.streaming import stream_sessionize
+
+    M = 60_000_000
+    src = str(tmp_path / "ev_dis")
+    os.makedirs(src)
+    now = _time.time()
+    # file 0 carries the LATER events, file 1 the earlier ones -> the
+    # second micro-batch arrives behind the stored state
+    batches = [
+        pd.DataFrame([(3, 1, 50 * M), (4, 1, 55 * M)], columns=["event_id", "user_id", "us"]),
+        pd.DataFrame([(1, 1, 0 * M), (2, 1, 5 * M)], columns=["event_id", "user_id", "us"]),
+    ]
+    for i, part in enumerate(batches):
+        p = f"{src}/{i:02d}.parquet"
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), p)
+        os.utime(p, (now + i, now + i))
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, us long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_sessionize(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sess_disorder")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dis"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="out-of-order"):
+        q.awaitTermination(300)
