@@ -365,12 +365,15 @@ def dedup_keep(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataF
 
 
 def repetition_stats(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Gopher-style repetition detector: the fraction of a doc's k-char
     grams that are duplicates (1 - distinct/total). High values flag
     boilerplate / templated / looping text for quality filtering. All JVM
-    expressions — scan-speed over 100 TB, no shuffle at all."""
+    expressions — scan-speed over 100 TB, no shuffle at all. ``keep_cols``
+    passes input columns through, so a profile query can chain further
+    projections over the SAME scan instead of joining back."""
     out = (
         df.withColumn("_nrm", _norm(F.col(text_col)))
         .withColumn("_total", F.greatest(F.length("_nrm") - (k - 1), F.lit(0)))
@@ -394,6 +397,7 @@ def repetition_stats(
     ).otherwise(F.lit(0.0))
     return out.select(
         id_col,
+        *(keep_cols or []),
         F.col("_total").cast("long").alias("n_grams"),
         F.col("_distinct").cast("long").alias("n_distinct_grams"),
         dup.alias("dup_gram_frac"),
