@@ -31,6 +31,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="extension: append the top method/path table")
     ap.add_argument("--bursts", action="store_true",
                     help="extension: append per-minute 5xx burst z-scores")
+    ap.add_argument("--any-digit-status", action="store_true",
+                    help="accept any digit-run status like the Nim/C++ reference "
+                         "variants (default: the C tool's exact-3-digit gate)")
     args = ap.parse_args(argv)
 
     from nginx_log_spark.parse import parse_lines, parse_sequences
@@ -46,10 +49,13 @@ def main(argv: list[str] | None = None) -> int:
         tmp.close()
         path = tmp.name
 
+    s3 = not args.any_digit_status
     if path.endswith(".parquet") or _is_parquet_dir(path):
-        parsed = parse_sequences(spark.read.parquet(path))
+        parsed = parse_sequences(spark.read.parquet(path), status_3digit=s3)
     else:
-        parsed = parse_lines(spark.read.text(path).withColumnRenamed("value", "line"))
+        parsed = parse_lines(
+            spark.read.text(path).withColumnRenamed("value", "line"), status_3digit=s3
+        )
 
     # stderr echo of rejected lines, c/main.c:480-483 (doc_id for token input).
     # toLocalIterator streams one partition at a time — bounded driver memory

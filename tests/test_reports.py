@@ -328,3 +328,28 @@ def test_two_phase_rank_equals_single_window_semantics(spark):
         else:
             assert int(r.rn_bytes) > K
     assert got_keys == kept_ref
+
+
+def test_cli_any_digit_status_flag(tmp_path):
+    """--any-digit-status selects the Nim/C++ parse semantics end to end:
+    a 4-digit status line is rejected by default (C gate) but counted with
+    the flag."""
+    import subprocess
+    import sys
+
+    lines = [
+        '10.0.0.1 - - [10/Oct/2000:13:55:36 +0000] "GET /a HTTP/1.1" 200 10 "-" "u" "-"',
+        '10.0.0.2 - - [10/Oct/2000:13:55:37 +0000] "GET /b HTTP/1.1" 2000 10 "-" "u" "-"',
+    ]
+    log = tmp_path / "s.log"
+    log.write_text("\n".join(lines) + "\n")
+    base = [sys.executable, "-m", "nginx_log_spark.cli", str(log),
+            "--no-color", "--no-echo", "--master", "local[2]"]
+    strict = subprocess.run(base, capture_output=True, text=True, timeout=300)
+    assert strict.returncode == 0, strict.stderr[-1500:]
+    loose = subprocess.run(base + ["--any-digit-status"],
+                           capture_output=True, text=True, timeout=300)
+    assert loose.returncode == 0, loose.stderr[-1500:]
+    # the C-semantics run counts 1 valid line, the Nim-semantics run 2
+    assert "10.0.0.2" not in strict.stdout
+    assert "10.0.0.2" in loose.stdout and "2000" in loose.stdout
