@@ -1471,6 +1471,55 @@ def emb_ivf_ann(spark, sf):
     return ivf_ann_topk_indexed(spark, path, cents, q, k=10, n_probe=2)
 
 
+# one Lloyd round over the 8 seed cells: assignment replayed as in
+# _IVF_ORACLE, per-cell mean via EXACT fixed-point integer sums (order-
+# independent), divided once — the refined quantizer exploded to
+# (cid, dim, c_val) rows
+_KMEANS_O = f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+           ORDER BY vec_id LIMIT 8),
+sims AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         round({_duck_cosine('e.embedding', 'c.cvec')}, 6) AS s
+  FROM embeddings e CROSS JOIN c
+),
+asg AS (
+  SELECT vec_id, embedding, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+  FROM sims
+),
+m0 AS (
+  SELECT cid,
+         unnest([{{'dim': d, 'v': CAST(round(embedding[d + 1]::DOUBLE * 1000000) AS BIGINT)}}
+                 for d in range(0, len(embedding))]) AS u
+  FROM asg WHERE rn = 1
+),
+m AS (SELECT cid, CAST(u.dim AS INT) AS dim, SUM(u.v) AS sx, COUNT(*) AS n
+      FROM m0 GROUP BY cid, u.dim)
+SELECT CAST(cid AS INT) AS cid, dim, round(sx / 1000000.0 / n, 6) AS c_val FROM m
+"""
+
+
+@_register("emb_ivf_kmeans_refine", _KMEANS_O)
+def emb_ivf_kmeans_refine(spark, sf):
+    """One Lloyd k-means round over the IVF quantizer
+    (functions/similarity.ivf_kmeans_refine): projection-only assignment,
+    per-cell means via exact fixed-point integer sums (bit-identical on any
+    partition order / engine), quantizer exploded to (cid, dim, c_val)."""
+    from nginx_log_spark.functions import ivf_kmeans_refine, seed_centroids
+
+    embs = _embs(spark, sf)
+    cents = seed_centroids(embs, n_centroids=8)
+    refined = ivf_kmeans_refine(embs, cents, rounds=1)
+    rows = [
+        (int(cid), d, float(vec[d]))
+        for cid, vec in refined
+        for d in range(len(vec))
+    ]
+    df = spark.createDataFrame(rows, "cid int, dim int, raw double")
+    return df.select("cid", "dim", F.round("raw", 6).alias("c_val"))
+
+
 # SQL-reproducible synthetic media (see multimodal.synth_payload_text):
 # ASCII md5-chain payloads so DuckDB can rebuild payload bytes, checksum,
 # and the md5-derived fake metadata without md5(BLOB) support.

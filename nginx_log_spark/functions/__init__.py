@@ -16,6 +16,7 @@ from nginx_log_spark.functions.similarity import (  # noqa: F401
     ivf_ann_topk,
     ivf_ann_topk_indexed,
     ivf_assign,
+    ivf_kmeans_refine,
     embedding_neardup_pairs,
     lsh_ann_topk,
     lsh_ann_topk_multiprobe,

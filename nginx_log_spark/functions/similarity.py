@@ -314,6 +314,57 @@ def write_ivf_index(
     return cents
 
 
+def ivf_kmeans_refine(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    rounds: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd k-means rounds over the IVF quantizer: assign every vector to
+    its nearest centroid (ivf_assign — a pure projection, no shuffle), then
+    move each centroid to its cell's mean. The per-cell mean uses EXACT
+    integer arithmetic — components are fixed-point-scaled to bigints,
+    summed (integer sums commute, so any partition order gives the same
+    bits), divided once — never an order-dependent double accumulation, so
+    the refined quantizer is bit-identical on any cluster size or engine.
+
+    Scale shape per round: one scan + one groupBy with n_centroids groups
+    and dims sum columns (map-side combined to ~|cells| rows/partition);
+    the quantizer itself stays driver-side (it is the tiny object every
+    IVF query needs anyway). Empty cells keep their previous centroid —
+    the standard Lloyd convention."""
+    cents = list(centroids)
+    dims = len(cents[0][1])
+    for _ in range(rounds):
+        assigned = ivf_assign(df, cents, vec_col, id_col)
+        sums = [
+            F.sum(
+                F.round(F.get(F.col(vec_col).cast("array<double>"), d) * scale)
+                .cast("long")
+            ).alias(f"s{d}")
+            for d in range(dims)
+        ]
+        rows = (
+            assigned.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"), *sums)
+            .collect()
+        )
+        by_cell = {int(r["cell"]): r for r in rows}
+        new_cents = []
+        for cid, old in cents:
+            r = by_cell.get(cid)
+            if r is None or r["n"] == 0:
+                new_cents.append((cid, old))
+            else:
+                new_cents.append(
+                    (cid, [r[f"s{d}"] / scale / r["n"] for d in range(dims)])
+                )
+        cents = new_cents
+    return cents
+
+
 def ivf_ann_topk_indexed(
     spark,
     path: str,

@@ -550,3 +550,31 @@ def test_winnow_long_doc_is_linear(spark):
         for i in range(len(nrm) - 7)
     )
     assert list(got) == hashes[:4]
+
+
+def test_ivf_kmeans_refine_moves_to_cell_means(spark, embs):
+    """One Lloyd round: every refined centroid equals its cell's exact
+    per-dim mean (numpy reference over the live assignment); a duplicate
+    centroid whose cell goes empty keeps its previous value."""
+    from nginx_log_spark.functions import (
+        ivf_assign,
+        ivf_kmeans_refine,
+        seed_centroids,
+    )
+
+    cents = seed_centroids(embs, n_centroids=8)
+    # centroid 99 duplicates centroid 0's vector: cosine ties break to the
+    # SMALLER cid, so cell 99 receives no vectors (empty-cell path)
+    cents_plus = cents + [(99, list(cents[0][1]))]
+    refined = dict(ivf_kmeans_refine(embs, cents_plus, rounds=1))
+    assert refined[99] == pytest.approx(cents[0][1])  # kept, not zeroed
+
+    assigned = ivf_assign(embs, cents_plus).select("cell", "embedding").toPandas()
+    for cid, vec in refined.items():
+        cell = assigned[assigned.cell == cid]
+        if cid == 99:
+            assert len(cell) == 0
+            continue
+        M = np.round(np.array(list(cell.embedding), dtype=np.float64) * 1e6)
+        exp = M.sum(axis=0) / 1e6 / len(cell)
+        assert np.allclose(vec, exp, atol=1e-12), cid
