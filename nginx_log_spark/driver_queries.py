@@ -1218,25 +1218,76 @@ def docs_lsh_dedup_keep(spark, sf):
     return dedup_keep(docs, verified).select("doc_id", "source")
 
 
+# connected-components retention: WITH RECURSIVE reachability over the
+# SAME verified pairs -> per-node min reachable label -> keep only each
+# component's minimum (+ all pair-free docs)
+_CC_PAIRS = f"""
+sh AS (
+  SELECT doc_id, list_distinct([substr({_DUCK_NORM}, i, 5)
+    for i in range(1, greatest(length({_DUCK_NORM}) - 4, 1) + 1)]) AS s
+  FROM documents
+),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+sz AS (SELECT doc_id, len(s) AS n FROM sh),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+cpairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+  WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= 0.7
+)"""
+
+_CC_KEEP_O = f"""
+WITH RECURSIVE
+{_CC_PAIRS},
+cedges AS (SELECT id_a AS u, id_b AS v FROM cpairs
+           UNION SELECT id_b, id_a FROM cpairs),
+cnodes AS (SELECT DISTINCT u AS node FROM cedges),
+reach(node, lbl) AS (
+  SELECT node, node FROM cnodes
+  UNION
+  SELECT e.u, r.lbl FROM cedges e JOIN reach r ON r.node = e.v
+),
+comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
+SELECT d.doc_id, d.source FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM comp c
+                  WHERE c.node = d.doc_id AND c.component <> d.doc_id)
+"""
+
 _DEDUP_RETAIN_O = f"""
 SELECT 'ngram_verified' AS method, doc_id, source FROM ({_DEDUP_KEEP_ORACLE})
 UNION ALL
 SELECT 'lsh_chain' AS method, doc_id, source FROM ({_LSH_DEDUP_O})
+UNION ALL
+SELECT 'cc' AS method, doc_id, source FROM ({_CC_KEEP_O})
 """
 
 
 @_register("docs_dedup_retain", _DEDUP_RETAIN_O)
 def docs_dedup_retain(spark, sf):
-    """Both retention pipelines composited: min-id keep over exhaustively
-    verified n-gram pairs, and the production LSH chain (banded candidates
-    -> pairs-bounded verify -> anti-join retain)."""
+    """All three retention rules composited: greedy local-min keep over
+    exhaustively verified n-gram pairs, the production LSH chain (banded
+    candidates -> pairs-bounded verify -> anti-join retain), and
+    connected-components retention (min-label propagation; exactly ONE
+    representative per duplicate cluster) over the same verified pairs —
+    the oracle replays the clustering with a recursive reachability CTE."""
+    from nginx_log_spark.functions import dedup_keep_components
+
     ng = docs_dedup_keep(spark, sf).select(
         F.lit("ngram_verified").alias("method"), "doc_id", "source"
     )
     lsh = docs_lsh_dedup_keep(spark, sf).select(
         F.lit("lsh_chain").alias("method"), "doc_id", "source"
     )
-    return ng.unionAll(lsh)
+    docs = _docs(spark, sf)
+    cc_pairs = ngram_jaccard_pairs(docs, shingle_k=5, threshold=0.7)
+    cc = dedup_keep_components(docs, cc_pairs).select(
+        F.lit("cc").alias("method"), "doc_id", "source"
+    )
+    return ng.unionAll(lsh).unionAll(cc)
 
 
 _SIMHASH64_ORACLE = rf"""

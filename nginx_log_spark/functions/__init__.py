@@ -1,8 +1,10 @@
 from nginx_log_spark.functions.dedup import (  # noqa: F401
     dedup_keep,
+    dedup_keep_components,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signatures,
+    neardup_components,
     ngram_jaccard_pairs,
     repetition_stats,
     simhash16,

@@ -355,13 +355,91 @@ def dedup_keep(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataF
     """Dedup retention: given verified duplicate pairs (id_a < id_b), drop
     every doc that appears as the LARGER side of any pair; keep the rest.
 
-    This is the greedy min-id representative rule — 1-hop, deterministic,
-    and a single left-anti join on uniform ids (no iteration). For chains
-    a~b, b~c without a~c it keeps a and c (vs full connected components,
-    which costs an iterative join loop for marginal extra removal — the
-    standard LSH-dedup trade, cf. the MinHash dedup literature)."""
+    This is the greedy local-minimum rule — 1-hop, deterministic, and a
+    single left-anti join on uniform ids (no iteration). It keeps every
+    node with no smaller-id neighbor, so a component can retain MORE than
+    one representative (e.g. edges (1,5),(2,5): both 1 and 2 survive).
+    For exactly one representative per duplicate cluster use
+    neardup_components + dedup_keep_components — the iterative
+    connected-components pass (the standard LSH-dedup trade, cf. the
+    MinHash dedup literature)."""
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(dropped, [id_col], "left_anti")
+
+
+def neardup_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Connected components over verified duplicate pairs via min-label
+    propagation: every node starts labelled with its own id; each round a
+    node takes the min of its and its neighbours' labels; at fixpoint the
+    label is the component's global minimum id. Returns (node, component).
+
+    Scale shape: each round is one equi-join edges->labels + one
+    groupBy(node).min — uniform keys, no single-partition step; labels are
+    localCheckpoint'ed per round so the plan lineage stays flat instead of
+    growing exponentially. Plain hop-propagation converges in
+    diameter(component) rounds — near-dup clusters are clique-like
+    (diameter 1-3), so max_rounds=12 is generous; convergence is CHECKED
+    (one small action per round) and non-convergence raises rather than
+    returning a partial clustering. (A 100 TB graph with long chains would
+    use the large-star/small-star variant — same join shapes, O(log n)
+    rounds.)"""
+    edges = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    edges = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("u").alias("node")).distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        nbr = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u").agg(F.min("lbl").alias("_nlbl"))
+        )
+        new = (
+            labels.join(nbr, labels.node == nbr.u, "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("_nlbl", "lbl")).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels.select("node", F.col("lbl").alias("component"))
+    raise ValueError(
+        f"neardup_components: no fixpoint after {max_rounds} rounds — "
+        "component diameter exceeds the bound; raise max_rounds or use a "
+        "star-contraction variant"
+    )
+
+
+def dedup_keep_components(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Dedup retention with EXACTLY one representative per duplicate
+    cluster: connected components over the verified pairs, keep each
+    component's minimum id (plus every doc in no pair) — one left-anti
+    join against the non-representative labels."""
+    labels = neardup_components(pairs)
+    non_rep = labels.filter(F.col("component") != F.col("node")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(non_rep, [id_col], "left_anti")
 
 
 def repetition_stats(

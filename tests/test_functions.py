@@ -578,3 +578,45 @@ def test_ivf_kmeans_refine_moves_to_cell_means(spark, embs):
         M = np.round(np.array(list(cell.embedding), dtype=np.float64) * 1e6)
         exp = M.sum(axis=0) / 1e6 / len(cell)
         assert np.allclose(vec, exp, atol=1e-12), cid
+
+
+def test_connected_components_vs_pairwise_keep(spark):
+    """Min-label propagation finds exact components, and CC retention keeps
+    exactly ONE doc per cluster where the pairwise rule keeps every local
+    minimum: edges (1,5),(2,5) — pairwise keeps {1,2}, CC keeps {1}."""
+    from nginx_log_spark.functions import (
+        dedup_keep,
+        dedup_keep_components,
+        neardup_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 5), (2, 5), (7, 8), (8, 9)], "id_a long, id_b long"
+    )
+    comp = {
+        r.node: r.component for r in neardup_components(pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 5: 1, 7: 7, 8: 7, 9: 7}
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in [1, 2, 5, 7, 8, 9, 42]], "doc_id long, source string"
+    )
+    pairwise = {r.doc_id for r in dedup_keep(docs, pairs).collect()}
+    cc = {r.doc_id for r in dedup_keep_components(docs, pairs).collect()}
+    assert pairwise == {1, 2, 7, 42}  # 2 survives: no smaller neighbor
+    assert cc == {1, 7, 42}  # one representative per cluster
+
+
+def test_connected_components_long_chain_raises_past_bound(spark):
+    """A path graph's diameter bounds the rounds: a 6-node chain converges
+    within the default bound; with max_rounds=1 non-convergence raises
+    instead of returning a partial clustering."""
+    from nginx_log_spark.functions import neardup_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "id_a long, id_b long"
+    )
+    comp = {r.node: r.component for r in neardup_components(chain).collect()}
+    assert set(comp.values()) == {1}
+    with pytest.raises(ValueError, match="no fixpoint"):
+        neardup_components(chain, max_rounds=1)
