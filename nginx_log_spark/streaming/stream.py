@@ -46,6 +46,25 @@ def stream_hourly_counts(seq_stream: DataFrame, watermark: str = "2 hours") -> D
     )
 
 
+def stream_dedup(
+    seq_stream: DataFrame,
+    watermark: str = "2 hours",
+    id_col: str = "doc_id",
+    time_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first occurrence of each id within
+    the watermark horizon (dropDuplicatesWithinWatermark) — the streaming
+    twin of exact_dedup for an at-least-once upstream (replayed files,
+    Kafka redelivery). State is bounded by the watermark: ids older than
+    the horizon are evicted, so memory is O(ids per horizon), not O(all
+    ids ever) — the only shape that survives an unbounded stream."""
+    parsed = parse_sequences(seq_stream).filter(F.col("valid"))
+    with_ts = parsed.withColumn(time_col, time_local_to_ts(F.col("time_local")))
+    return with_ts.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        [id_col]
+    )
+
+
 SESSION_GAP_US = 30 * 60 * 1_000_000
 
 

@@ -198,3 +198,37 @@ def test_stream_sessionize_rejects_out_of_order_batch(spark, tmp_path):
     )
     with pytest.raises(StreamingQueryException, match="out-of-order"):
         q.awaitTermination(300)
+
+
+def test_stream_dedup_first_occurrence_wins(spark, tmp_path):
+    """Replayed ids across micro-batches: dropDuplicatesWithinWatermark
+    keeps exactly one row per doc_id (state carried across triggers), and
+    the output ids equal the batch-distinct set."""
+    src = str(tmp_path / "in_dd")
+    seq = loggen.sequences_df(spark, 400, partitions=2)
+    # replay: the same 400 docs written twice as separate files/batches
+    seq.write.mode("overwrite").parquet(src)
+    seq.write.mode("append").parquet(src)
+    from nginx_log_spark.parse import parse_sequences
+    from nginx_log_spark.streaming import stream_dedup
+
+    stream = read_sequence_stream(spark, src, max_files_per_trigger=2)
+    q = (
+        stream_dedup(stream)
+        .select("doc_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("select doc_id from dedup_out").toPandas()
+    assert len(got) == got.doc_id.nunique()
+    exp = {
+        r.doc_id
+        for r in parse_sequences(spark.read.parquet(src))
+        .filter(F.col("valid")).select("doc_id").distinct().collect()
+    }
+    assert set(got.doc_id) == exp
