@@ -2214,21 +2214,35 @@ def docs_train_val_split(spark, sf):
     )
 
 
+_QW_O = (
+    f"""SELECT 'quality_weighted' AS variant, q.doc_id, d.source AS label
+FROM ({_QUALITY_ORACLE}) q JOIN documents d USING (doc_id)
+WHERE """
+    + _u_sql("CAST(q.doc_id AS VARCHAR)", "qw")
+    + " < least(q.quality_score, 1.0)"
+)
+
 _SAMPLING_O = f"""
 SELECT 'bernoulli' AS variant, doc_id, source AS label FROM ({_SAMPLE_HASH_O})
 UNION ALL
 SELECT 'stratified' AS variant, doc_id, source AS label FROM ({_SAMPLE_STRAT_O})
 UNION ALL
 SELECT 'split' AS variant, doc_id, split AS label FROM ({_SPLIT_O})
+UNION ALL
+{_QW_O}
 """
 
 
 @_register("docs_sampling", _SAMPLING_O)
 def docs_sampling(spark, sf):
     """The deterministic sampling family composited: Bernoulli hash sample
-    (rate 0.2), per-source stratified mixture sample, and the disjoint/
-    exhaustive train-val split — all membership decisions are pure
-    (key, seed) hash predicates, identical on any cluster size or engine."""
+    (rate 0.2), per-source stratified mixture sample, the disjoint/
+    exhaustive train-val split, and quality-weighted importance sampling
+    (P(keep) = quality_score) — all membership decisions are pure
+    (key, seed) hash predicates over deterministic scores, identical on
+    any cluster size or engine."""
+    from nginx_log_spark.functions import score_weighted_sample
+
     bern = docs_sample_hash(spark, sf).select(
         F.lit("bernoulli").alias("variant"), "doc_id",
         F.col("source").alias("label"),
@@ -2241,7 +2255,14 @@ def docs_sampling(spark, sf):
         F.lit("split").alias("variant"), "doc_id",
         F.col("split").alias("label"),
     )
-    return bern.unionAll(strat).unionAll(split)
+    qscore = quality_columns(F.col("text"))["quality_score"]
+    qw = score_weighted_sample(
+        _docs(spark, sf), qscore, "doc_id", seed="qw"
+    ).select(
+        F.lit("quality_weighted").alias("variant"), "doc_id",
+        F.col("source").alias("label"),
+    )
+    return bern.unionAll(strat).unionAll(split).unionAll(qw)
 
 
 @_register(

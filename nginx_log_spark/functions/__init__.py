@@ -39,6 +39,7 @@ from nginx_log_spark.functions.sampling import (  # noqa: F401
     hash_uniform,
     mixture_resample,
     sample_oracle_pred,
+    score_weighted_sample,
     stratified_sample,
     train_val_split,
 )

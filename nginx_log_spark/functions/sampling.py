@@ -35,6 +35,23 @@ def hash_sample(
     return df.where(hash_uniform(key_col, seed) < F.lit(float(rate)))
 
 
+def score_weighted_sample(
+    df: DataFrame,
+    score: Column,
+    key_col: Column | str,
+    seed: str = "0",
+    scale: float = 1.0,
+) -> DataFrame:
+    """Importance sampling by a per-row score in [0, 1]: keep with
+    probability ``min(score * scale, 1)`` — e.g. quality-weighted
+    retention, where high-quality docs survive at full rate and boilerplate
+    is thinned proportionally. Same deterministic (key, seed) uniform, so
+    membership is reproducible on any cluster size or engine; still a pure
+    scan + filter (the score is computed inline, no shuffle)."""
+    p = F.least(score * F.lit(float(scale)), F.lit(1.0))
+    return df.where(hash_uniform(key_col, seed) < p)
+
+
 def stratified_sample(
     df: DataFrame,
     rates: dict[str, float],

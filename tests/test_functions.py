@@ -620,3 +620,24 @@ def test_connected_components_long_chain_raises_past_bound(spark):
     assert set(comp.values()) == {1}
     with pytest.raises(ValueError, match="no fixpoint"):
         neardup_components(chain, max_rounds=1)
+
+
+def test_score_weighted_sample_rates(spark):
+    """P(keep) tracks the score: score 1.0 keeps everything, score 0 keeps
+    nothing, and a 0.5-score population lands near half (deterministic,
+    so the observed rate is a fixed number, asserted loosely)."""
+    from nginx_log_spark.functions import score_weighted_sample
+
+    n = 2000
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.5][i % 3]) for i in range(n)], "doc_id long, s double"
+    )
+    kept = score_weighted_sample(df, F.col("s"), "doc_id", seed="t").toPandas()
+    by_s = kept.groupby("s").size()
+    assert by_s.get(1.0, 0) == len([i for i in range(n) if i % 3 == 0])
+    assert by_s.get(0.0, 0) == 0
+    half = by_s.get(0.5, 0) / len([i for i in range(n) if i % 3 == 2])
+    assert 0.4 < half < 0.6
+    # deterministic: the same call returns the same membership
+    again = score_weighted_sample(df, F.col("s"), "doc_id", seed="t").toPandas()
+    assert set(kept.doc_id) == set(again.doc_id)
