@@ -148,7 +148,7 @@ def _group_queries(spark, group: str) -> dict[str, float]:
         # warm: fork the python worker pool + JIT with one full pass
         queries["warmup_sec"] = _timed(q_parse_count, "warmup (cold parse)")
         queries["parse_lines"] = _min_of(q_parse_count, "parse_lines")
-        queries["parse_materialize"] = _min_of(q_parse_materialize, "parse_materialize", 1)
+        queries["parse_materialize"] = _min_of(q_parse_materialize, "parse_materialize", 2)
         queries["full_report_job"] = _min_of(
             lambda: pipeline_job(spark, seq), "full_report_job"
         )

@@ -139,3 +139,21 @@ def test_bad_code_breakdown_two_phase_rank(spark):
     p = plan(df)
     assert "pmod" in p and "xxhash64" in p
     assert "BroadcastExchange" in p
+
+
+def test_connected_components_round_is_equi_join(spark):
+    """Each label-propagation round must be an equi-join + groupBy-min on
+    uniform keys — never a cartesian/nested-loop — and the per-round
+    localCheckpoint keeps the lineage flat (the plan of the returned frame
+    does not contain the full join tower)."""
+    from nginx_log_spark.functions import neardup_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40, 2)], "id_a long, id_b long"
+    )
+    out = neardup_components(pairs)
+    p = plan(out)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # lineage cut: the returned plan scans checkpointed RDDs, not the
+    # original createDataFrame roots repeated once per round
+    assert p.count("ExistingRDD") >= 1
