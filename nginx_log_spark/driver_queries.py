@@ -2029,21 +2029,49 @@ def seq_pack_chunks(spark, sf):
     )
 
 
+# bucketed dynamic batching over the same tokenized lines: len bucket =
+# integer-exact floor(log2(n_tok)), rank within bucket by numeric id,
+# batches of 32, per-batch padding accounting. padding_frac rides as a
+# 1e6-scaled bigint so the composite keeps one all-bigint payload schema.
+_BATCH_SIZE = 32
+_PACK_B = f"""{_CTE},
+bo AS (SELECT doc_id, CAST(substr(doc_id, 2) AS BIGINT) AS id,
+              CAST(length(line) AS BIGINT) AS n_tok FROM logs),
+bl AS (SELECT *, CAST(CASE WHEN n_tok <= 0 THEN 0
+                      ELSE length(bin(n_tok)) - 1 END AS INT) AS lb FROM bo),
+br AS (SELECT *, (row_number() OVER (PARTITION BY lb ORDER BY id) - 1)
+                 // {_BATCH_SIZE} AS batch_idx FROM bl)
+SELECT lb AS len_bucket, batch_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_seqs,
+       CAST(MAX(n_tok) AS BIGINT) AS max_len,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_len,
+       CAST(round((1.0 - SUM(n_tok) / (COUNT(*) * MAX(n_tok))) * 1000000, 0)
+            AS BIGINT) AS pad6
+FROM br GROUP BY lb, batch_idx"""
+
 _PACKING_O = f"""
 SELECT 'offsets' AS kind, doc_id AS "key", n_tok AS a, "offset" AS b,
        chunk_first AS c, chunk_last AS d FROM ({_PACK_O})
 UNION ALL
 SELECT 'chunks' AS kind, CAST(chunk_id AS VARCHAR) AS "key", n_filled AS a,
        n_docs AS b, token_sum AS c, CAST(-1 AS BIGINT) AS d FROM ({_PACK_C})
+UNION ALL
+SELECT 'batches' AS kind,
+       CAST(len_bucket AS VARCHAR) || ':' || CAST(batch_idx AS VARCHAR) AS "key",
+       n_seqs AS a, max_len AS b, sum_len AS c, pad6 AS d FROM ({_PACK_B})
 """
 
 
 @_register("seq_packing", _PACKING_O)
 def seq_packing(spark, sf):
     """Sequence packing end to end, composited: per-doc concat offsets from
-    the two-level prefix sum (no global window) AND the packed fixed-length
+    the two-level prefix sum (no global window), the packed fixed-length
     chunks verified through per-chunk (length, doc-span, exact token sum)
-    against a character-level SQL recomputation."""
+    against a character-level SQL recomputation, AND length-bucketed
+    dynamic batching with per-batch padding accounting (the padding-
+    efficiency alternative to concat-and-chunk)."""
+    from nginx_log_spark.functions import batch_stats, length_bucket_batches
+
     offs = seq_pack_offsets(spark, sf).select(
         F.lit("offsets").alias("kind"), F.col("doc_id").alias("key"),
         F.col("n_tok").alias("a"), F.col("offset").alias("b"),
@@ -2055,7 +2083,20 @@ def seq_packing(spark, sf):
         F.col("n_filled").alias("a"), F.col("n_docs").alias("b"),
         F.col("token_sum").alias("c"), F.lit(-1).cast("long").alias("d"),
     )
-    return offs.unionAll(ch)
+    batched = length_bucket_batches(
+        _log_seq_with_id(spark, sf), "_id", F.expr("_id div 1000"), _BATCH_SIZE
+    )
+    bt = batch_stats(batched).select(
+        F.lit("batches").alias("kind"),
+        F.concat(
+            F.col("len_bucket").cast("string"), F.lit(":"),
+            F.col("batch_idx").cast("string"),
+        ).alias("key"),
+        F.col("n_seqs").alias("a"), F.col("max_len").alias("b"),
+        F.col("sum_len").alias("c"),
+        F.round(F.col("padding_frac") * 1e6, 0).cast("long").alias("d"),
+    )
+    return offs.unionAll(ch).unionAll(bt)
 
 
 _VOCAB_O = f"""{_CTE}

@@ -184,6 +184,76 @@ def chunk_stats(chunks_df: DataFrame) -> DataFrame:
     )
 
 
+def length_bucket_batches(
+    df: DataFrame,
+    order_col: Column | str,
+    order_bucket_col: Column | str,
+    batch_size: int,
+    n_tok_col: str = "n_tok",
+) -> DataFrame:
+    """Dynamic batching: group sequences of SIMILAR length into fixed-count
+    batches, the padding-efficiency alternative to concat-and-chunk (a
+    batch padded to its own max wastes far less than padding everything to
+    the global max — the standard bucketed-batching recipe).
+
+    Length bucket = floor(log2(n_tok)) via the integer-exact bin()-length
+    trick (no floating log); within each bucket rows take a deterministic
+    rank in ``order_col`` order and ``batch_idx = rank div batch_size``.
+    The per-bucket rank reuses the two-level prefix-sum shape: per
+    (len_bucket, order_bucket) counts cumsum'd over the TINY bucket frame
+    (window partitioned by len_bucket over order_bucket), broadcast back,
+    plus a within-(len_bucket, order_bucket) row_number — no
+    single-partition window over the data. ``order_bucket_col`` must be
+    monotone non-decreasing in ``order_col`` (same contract as
+    pack_offsets).
+
+    Adds ``len_bucket``, ``rank_in_bucket``, ``batch_idx``.
+    """
+    order = F.col(order_col) if isinstance(order_col, str) else order_col
+    ob = (
+        F.col(order_bucket_col)
+        if isinstance(order_bucket_col, str)
+        else order_bucket_col
+    )
+    n_tok = F.col(n_tok_col).cast("long")
+    lb = F.when(n_tok <= 0, F.lit(0)).otherwise(F.length(F.bin(n_tok)) - 1)
+    staged = df.withColumn("_lb", lb.cast("int")).withColumn("_ob", ob)
+    tot = staged.groupBy("_lb", "_ob").agg(F.count(F.lit(1)).alias("_n"))
+    wb = Window.partitionBy("_lb").orderBy("_ob").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    base = tot.select(
+        "_lb", "_ob", F.coalesce(F.sum("_n").over(wb), F.lit(0)).alias("_base")
+    )
+    wr = Window.partitionBy("_lb", "_ob").orderBy(order)
+    out = (
+        staged.join(F.broadcast(base), ["_lb", "_ob"])
+        .withColumn(
+            "rank_in_bucket",
+            (F.col("_base") + F.row_number().over(wr) - 1).cast("long"),
+        )
+        .withColumn("batch_idx", F.expr(f"rank_in_bucket div {batch_size}"))
+        .withColumnRenamed("_lb", "len_bucket")
+        .drop("_ob", "_base")
+    )
+    return out
+
+
+def batch_stats(batched: DataFrame, n_tok_col: str = "n_tok") -> DataFrame:
+    """Per-(len_bucket, batch_idx) padding accounting: sequence count, the
+    batch's own max length (its padded width), exact token sum, and the
+    padding fraction ``1 - sum / (count * max)`` — the number bucketed
+    batching exists to minimize."""
+    n_tok = F.col(n_tok_col).cast("long")
+    agg = batched.groupBy("len_bucket", "batch_idx").agg(
+        F.count(F.lit(1)).alias("n_seqs"),
+        F.max(n_tok).alias("max_len"),
+        F.sum(n_tok).alias("sum_len"),
+    )
+    pad = F.lit(1.0) - F.col("sum_len") / (F.col("n_seqs") * F.col("max_len"))
+    return agg.withColumn("padding_frac", F.round(pad, 6))
+
+
 def deterministic_shuffle(
     df: DataFrame,
     key_col: Column | str,

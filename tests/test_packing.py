@@ -178,3 +178,46 @@ def test_token_histogram_matches_explode(spark, seq_df):
         for t in r["tokens"]:
             exp[t] = exp.get(t, 0) + 1
     assert got == exp
+
+
+def test_length_bucket_batches_matches_flat_window(spark):
+    """The two-level per-bucket rank == a flat per-bucket row_number, and
+    batch padding stats follow: every batch except a bucket's last has
+    exactly batch_size rows, and padding_frac is 1 - sum/(n*max)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from nginx_log_spark.functions import batch_stats, length_bucket_batches
+
+    n = 1000
+    pdf = pd.DataFrame({
+        "id": range(n),
+        "n_tok": [(7 * i) % 300 + 1 for i in range(n)],
+    })
+    df = spark.createDataFrame(pdf)
+    out = length_bucket_batches(
+        df, "id", F.expr("id div 100"), batch_size=16
+    ).toPandas()
+
+    # reference: flat pandas rank within each len bucket
+    pdf["lb"] = pdf.n_tok.apply(lambda t: t.bit_length() - 1)
+    pdf["rank"] = pdf.sort_values("id").groupby("lb").cumcount()
+    ref = pdf.set_index("id").sort_index()
+    got = out.set_index("id").sort_index()
+    assert (got.len_bucket == ref.lb).all()
+    assert (got.rank_in_bucket == ref["rank"]).all()
+    assert (got.batch_idx == ref["rank"] // 16).all()
+
+    st = batch_stats(
+        length_bucket_batches(df, "id", F.expr("id div 100"), batch_size=16)
+    ).toPandas()
+    full = st[st.n_seqs == 16]
+    assert len(full) > 10
+    # every non-final batch is exactly full
+    last_per_bucket = st.groupby("len_bucket").batch_idx.max()
+    partial = st[st.n_seqs < 16]
+    assert all(
+        r.batch_idx == last_per_bucket[r.len_bucket] for r in partial.itertuples()
+    )
+    exp_pad = (1 - st.sum_len / (st.n_seqs * st.max_len)).round(6)
+    assert (st.padding_frac - exp_pad).abs().max() < 1e-9
