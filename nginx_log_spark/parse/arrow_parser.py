@@ -373,16 +373,17 @@ def token_histogram(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
     return partials.groupBy("token").agg(F.sum("cnt").alias("cnt"))
 
 
-def parse_line_py(s: str) -> dict | None:
+def parse_line_py(s: str, status_3digit: bool = True) -> dict | None:
     """Single-line reference implementation of the two-tier logic (tests)."""
     import re
 
-    m = re.match(STRICT_PATTERN, s)
+    pattern = STRICT_PATTERN if status_3digit else ANYDIGIT_STATUS_PATTERN
+    m = re.match(pattern, s)
     if m:
         d = m.groupdict()
         d["body_bytes_sent"] = int(d["body_bytes_sent"])
         return d
-    g = _exact_parse_line(s)
+    g = _exact_parse_line(s, status_3digit)
     if g is None:
         return None
     d = dict(zip(FIELD_NAMES, g))

@@ -371,3 +371,44 @@ def test_status_anydigit_flag_nim_semantics(spark):
     for rid, _, status, n in rows:
         assert c_mode[rid] == ((n == 3), status if n == 3 else c_mode[rid][1])
         assert nim_mode[rid] == (True, status)
+
+
+def test_anydigit_mode_tier_agreement_fuzz():
+    """Nim-mode tier contract: with status_3digit=False the RE2 strict tier
+    and the combinator fallback must still agree everywhere they overlap —
+    a strict match is always a valid exact parse with identical fields, and
+    lines the strict tier misses get the exact tier's verdict (any digit
+    run accepted). 30k mutations with digit-run statuses of length 1..6."""
+    rnd = random.Random(7331)
+    alphabet = '0123456789abcf.:- []"GETPOSu/xyz'
+    import re
+
+    from nginx_log_spark.parse.arrow_parser import (
+        ANYDIGIT_STATUS_PATTERN,
+        _exact_parse_line,
+        FIELD_NAMES,
+    )
+
+    for _ in range(30000):
+        status = "5" * rnd.randint(1, 6)
+        s = (
+            f'1.2.3.4 - - [10/Oct/2000:13:55:36 -0700] "GET /a HTTP/1.1" '
+            f'{status} 2326 "http://r/" "Mozilla (X11; Linux)" "-"'
+        )
+        for _ in range(rnd.randint(0, 4)):
+            p = rnd.randrange(len(s))
+            op = rnd.random()
+            if op < 0.4:
+                s = s[:p] + rnd.choice(alphabet) + s[p + 1 :]
+            elif op < 0.7:
+                s = s[:p] + s[p + 1 :]
+            else:
+                s = s[:p] + rnd.choice(alphabet) + s[p:]
+        m = re.match(ANYDIGIT_STATUS_PATTERN, s)
+        g = _exact_parse_line(s, status_3digit=False)
+        if m:
+            # strict tier accepts => exact tier must accept with the SAME fields
+            assert g is not None, repr(s)
+            assert dict(zip(FIELD_NAMES, g)) == m.groupdict(), repr(s)
+        # (strict-miss lines are decided by the exact tier alone — that is
+        # the tier contract; no cross-check needed beyond the accept case)
