@@ -2356,6 +2356,37 @@ def docs_repetition(spark, sf):
     return repetition_stats(_docs(spark, sf))
 
 
+_SPAN_DEDUP_O = r"""
+WITH n AS (SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nrm
+           FROM documents),
+sp AS (SELECT doc_id, trim(u) AS span
+       FROM n, unnest(string_split_regex(nrm, '\.\s+')) AS t(u)
+       WHERE length(trim(u)) >= 20),
+c AS (SELECT md5(span) AS h, COUNT(*) AS cnt FROM sp GROUP BY 1),
+pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+       FROM sp JOIN c ON md5(sp.span) = c.h GROUP BY doc_id)
+SELECT d.doc_id,
+  CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
+  CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup_spans,
+  round(CASE WHEN COALESCE(n_spans, 0) > 0
+        THEN COALESCE(n_dup, 0) / n_spans ELSE 0.0 END, 6) AS dup_span_frac
+FROM documents d LEFT JOIN pd USING (doc_id)
+"""
+
+
+@_register("docs_span_dedup", _SPAN_DEDUP_O)
+def docs_span_dedup(spark, sf):
+    """Cross-document span duplication (C4-style boilerplate signal): split
+    each doc into normalized sentence spans, count occurrences corpus-wide
+    on the span digest (uniform md5 keys, map-side combined), report per
+    doc the fraction of its spans appearing elsewhere."""
+    from nginx_log_spark.functions import paragraph_dup_stats
+
+    return paragraph_dup_stats(_docs(spark, sf))
+
+
 _PROFILE_O = f"""
 SELECT t.doc_id, t.n_ws_tokens, t.n_bpe_tokens,
        q.n_chars, q.n_words, q.punct_ratio, q.stopword_ratio, q.quality_score,

@@ -152,6 +152,66 @@ def quality_route(
 
 
 # ---------------------------------------------------------------------------
+# paragraph/sentence-level duplication (C4-style span dedup signal)
+# ---------------------------------------------------------------------------
+
+
+def paragraph_dup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = r"\.\s+",
+    min_chars: int = 20,
+) -> DataFrame:
+    """Corpus-level span duplication per doc: split each doc into
+    normalized spans (sentences/paragraphs by ``sep``), count every span's
+    occurrences ACROSS the corpus, and report per doc how many of its
+    spans appear elsewhere — the C4-style signal for boilerplate shared
+    between documents (exact n-gram repetition within one doc is
+    repetition_stats; this is the cross-document twin).
+
+    Returns (id, n_spans, n_dup_spans, dup_span_frac).
+
+    Scale shape: explode volume = text volume (one pass); the global count
+    groups on md5(span) — uniform 128-bit keys, map-side combined — and
+    the join back keys on the same digest. No self-join, no skewed keys.
+    """
+    nrm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    spans = F.filter(
+        F.transform(F.split(nrm, sep), lambda s: F.trim(s)),
+        lambda s: F.length(s) >= min_chars,
+    )
+    ex = df.select(F.col(id_col), F.explode(spans).alias("_span")).withColumn(
+        "_h", F.md5("_span")
+    )
+    counts = ex.groupBy("_h").agg(F.count(F.lit(1)).alias("_n"))
+    per_doc = (
+        ex.join(counts, "_h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("_n") > 1).cast("long")).alias("n_dup_spans"),
+        )
+    )
+    # docs with no qualifying span still get a row (frac 0)
+    base = df.select(F.col(id_col))
+    out = base.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.round(
+            F.when(
+                F.coalesce("n_spans", F.lit(0)) > 0,
+                F.coalesce("n_dup_spans", F.lit(0))
+                / F.coalesce("n_spans", F.lit(1)),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_span_frac"),
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
 # fingerprinting
 # ---------------------------------------------------------------------------
 

@@ -641,3 +641,27 @@ def test_score_weighted_sample_rates(spark):
     # deterministic: the same call returns the same membership
     again = score_weighted_sample(df, F.col("s"), "doc_id", seed="t").toPandas()
     assert set(kept.doc_id) == set(again.doc_id)
+
+
+def test_paragraph_dup_stats_planted_boilerplate(spark):
+    """Docs sharing an injected boilerplate sentence get dup_span_frac > 0
+    for exactly that span; unique docs stay at 0; span-free docs get a
+    zero row (not dropped)."""
+    from nginx_log_spark.functions import paragraph_dup_stats
+
+    boiler = "subscribe to our newsletter for all the latest updates today"
+    rows = [
+        (1, f"{boiler}. a unique first sentence about owls and trees."),
+        (2, f"{boiler}. another entirely different body of running text."),
+        (3, "completely original content with no shared sentences at all."),
+        (4, "x."),  # no span >= 20 chars
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_spans, r.n_dup_spans, r.dup_span_frac)
+        for r in paragraph_dup_stats(df).collect()
+    }
+    assert got[1] == (2, 1, 0.5)
+    assert got[2] == (2, 1, 0.5)
+    assert got[3] == (1, 0, 0.0)
+    assert got[4] == (0, 0, 0.0)
