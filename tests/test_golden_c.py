@@ -318,3 +318,73 @@ def test_fuzz_accept_reject_vs_binary(c_binary, tmp_path, spark):
         lines[i] for i in range(len(lines)) if not verdicts[f"f{i:06d}"]
     )
     assert ours_rejected == c_rejected
+
+
+# ---------------------------------------------------------------------------
+# golden C++ parity: the any-digit-status reference variant
+# ---------------------------------------------------------------------------
+
+REF_CPP = "/root/reference/c++/main.cpp"
+
+
+@pytest.fixture(scope="module")
+def cpp_binary(tmp_path_factory):
+    """Compile the C++ reference (c++/main.cpp). The source is missing
+    `#include <queue>` (std::priority_queue at c++/main.cpp:258), so it is
+    force-included — the reference tree is read-only."""
+    if not os.path.exists(REF_CPP):
+        pytest.skip("C++ reference source not available")
+    exe = tmp_path_factory.mktemp("cppref") / "nginx_log_cpp"
+    r = subprocess.run(
+        ["g++", "-O2", "-std=c++17", "-include", "queue", "-o", str(exe), REF_CPP],
+        capture_output=True, text=True,
+    )
+    if r.returncode != 0:
+        pytest.skip(f"no usable C++ compiler: {r.stderr[:500]}")
+    return str(exe)
+
+
+def test_cpp_binary_anydigit_semantics(cpp_binary, tmp_path, spark):
+    """The compiled C++ reference accepts ANY digit-run status
+    (c++/main.cpp:155-157 parse_status_code has no length gate, unlike
+    c/main.c:433-437) — our status_3digit=False mode must agree with the
+    real binary on totals, unique IPs, and the exact reject set, on a
+    fixture mixing 1..6-digit statuses with malformed lines."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from nginx_log_spark.parse import parse_lines_arrow
+
+    lines = []
+    for i in range(1200):
+        status = str(5 * 10 ** (i % 6) + i % 9)  # 1..6 digit runs
+        line = (
+            f"10.0.{i % 40}.{i % 9 + 1} - - [10/Oct/2000:13:{i % 50:02d}:00 +0000] "
+            f'"GET /p/{i % 30} HTTP/1.1" {status} {i % 5000} "-" "ua/{i % 7}" "-"'
+        )
+        if i % 83 == 0:
+            line = line[:20]  # truncated -> reject in both engines
+        lines.append(line)
+    log = tmp_path / "anydigit.log"
+    log.write_text("\n".join(lines) + "\n")
+
+    out, err = run_c(cpp_binary, str(log))
+    plain = re.sub(rb"\x1b\[[0-9;]*m", b"", out).decode()
+    m_total = re.search(r"共计(\d+)次访问", plain)
+    m_ips = re.search(r"独立IP数(\d+)", plain)
+    assert m_total and m_ips
+    cpp_rejects = {l for l in err.decode("latin-1").splitlines() if l}
+
+    df = spark.createDataFrame([(l,) for l in lines], "line string")
+    parsed = parse_lines_arrow(df, status_3digit=False)
+    ours_valid = parsed.filter(F.col("valid"))
+    assert int(m_total.group(1)) == ours_valid.count()
+    assert int(m_ips.group(1)) == ours_valid.select("remote_addr").distinct().count()
+    our_rejects = {
+        r["line"] for r in parsed.filter(~F.col("valid")).select("line").collect()
+    }
+    assert our_rejects == cpp_rejects
+    # and the C-semantics default REJECTS the non-3-digit majority
+    c_mode_valid = parse_lines_arrow(df).filter(F.col("valid")).count()
+    assert c_mode_valid < ours_valid.count()
