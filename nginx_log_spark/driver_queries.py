@@ -2454,6 +2454,111 @@ def docs_split_decontam(spark, sf):
     )
 
 
+_PII_LM_O = r"""
+WITH p AS (
+  SELECT doc_id,
+    text ||
+    CASE WHEN doc_id % 3 != 0
+         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         ELSE '' END ||
+    CASE WHEN doc_id % 4 != 0
+         THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.'
+              || CAST((doc_id * 7) % 200 AS VARCHAR) || '.'
+              || CAST((doc_id * 13) % 200 AS VARCHAR)
+         ELSE '' END ||
+    CASE WHEN doc_id % 5 != 0
+         THEN ' call +1 555 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         ELSE '' END AS ptext
+  FROM documents),
+pii AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(ptext,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+    CAST(len(regexp_extract_all(ptext,
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
+    CAST(len(regexp_extract_all(ptext, '\+\d[\d -]{6,13}\d')) AS INT) AS n_phone,
+    md5(regexp_replace(regexp_replace(regexp_replace(ptext,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      '\+\d[\d -]{6,13}\d', '<PHONE>', 'g')) AS redacted_fp
+  FROM p),
+w AS (SELECT doc_id, u AS word
+      FROM (SELECT doc_id,
+              regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nrm
+            FROM documents) n,
+           unnest(string_split(nrm, ' ')) AS t(u)
+      WHERE length(u) > 0),
+c AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY 1),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+v AS (SELECT word, CAST(round(ln(cnt / total) * 1e6) AS BIGINT) AS lp_e6
+      FROM (SELECT word, cnt FROM c ORDER BY cnt DESC, word ASC LIMIT 65536) cc
+      CROSS JOIN tot),
+fl AS (SELECT CAST(round(ln(1.0 / total) * 1e6) AS BIGINT) AS floor_lp_e6 FROM tot),
+lm AS (SELECT w.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(CASE WHEN v.lp_e6 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         CAST(SUM(COALESCE(v.lp_e6, fl.floor_lp_e6)) AS BIGINT) AS sum_lp_e6
+       FROM w LEFT JOIN v USING (word) CROSS JOIN fl GROUP BY w.doc_id)
+SELECT d.doc_id, pii.n_email, pii.n_ipv4, pii.n_phone, pii.redacted_fp,
+  CAST(COALESCE(lm.n_words, 0) AS BIGINT) AS n_words,
+  CAST(COALESCE(lm.n_oov, 0) AS BIGINT) AS n_oov,
+  CAST(COALESCE(lm.sum_lp_e6, 0) AS BIGINT) AS sum_lp_e6,
+  CASE WHEN COALESCE(lm.n_words, 0) > 0
+       THEN CAST(round(-lm.sum_lp_e6 / lm.n_words) AS BIGINT)
+       ELSE 0 END AS avg_nll_e6
+FROM (SELECT doc_id FROM documents) d
+JOIN pii USING (doc_id) LEFT JOIN lm USING (doc_id)"""
+
+
+@_register("docs_pii_lm", _PII_LM_O)
+def docs_pii_lm(spark, sf):
+    """PII scrubbing + corpus unigram-LM scoring, composited per doc.
+
+    PII half: the fixture corpus contains no PII, so the query SYNTHESIZES
+    it deterministically from doc_id (email on id%3!=0, ipv4 on id%4!=0,
+    phone on id%5!=0 — mixed presence including none) in BOTH engines, then
+    redacts with the production rules (textstats.PII_RULES, fixed order)
+    and reports per-pattern counts plus md5 of the redacted text — a
+    non-vacuous exactness check of the scrub a 100 TB pipeline runs at
+    scan speed.
+
+    LM half: CCNet-style perplexity proxy under the corpus's own unigram
+    distribution; per-word log-probs fixed-pointed to BIGINT once, per-doc
+    totals exact integer sums (partitioning-order independent), vocab
+    capped to top-65536 so the score-side join is broadcastable with OOV
+    floor scoring."""
+    from nginx_log_spark.functions import redact_pii, unigram_logprob_score
+
+    docs = _docs(spark, sf)
+    did = F.col("doc_id")
+    pii_text = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 != 0,
+            F.concat(F.lit(" contact user"), did.cast("string"),
+                     F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 != 0,
+            F.concat(F.lit(" from 10."), (did % 200).cast("string"), F.lit("."),
+                     ((did * 7) % 200).cast("string"), F.lit("."),
+                     ((did * 13) % 200).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 != 0,
+            F.concat(F.lit(" call +1 555 "),
+                     F.lpad((did % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+    )
+    red = redact_pii(docs.withColumn("text", pii_text))
+    pii = red.select(
+        "doc_id", "n_email", "n_ipv4", "n_phone",
+        F.md5("text").alias("redacted_fp"),
+    )
+    lm = unigram_logprob_score(_docs(spark, sf))
+    return pii.join(lm, "doc_id")
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

@@ -239,3 +239,124 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text", k: int = 8, keep:
         .withColumn("fingerprints", F.slice(F.array_sort(grams), 1, keep))
         .drop("_wnrm")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (training-data scrubbing)
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB oracle): no lookaround, no backrefs. Redaction
+# applies them IN THIS ORDER (email first so its host part can't later be
+# half-eaten by the ipv4 rule on pathological inputs).
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d -]{6,13}\d", "<PHONE>"),
+]
+
+
+def pii_columns(text: Column) -> dict[str, Column]:
+    """Per-pattern match counts (on the ORIGINAL text, each pattern
+    independently) plus the fully redacted text. Pure JVM regex — scan
+    speed, no shuffle; a 100 TB scrub is exactly this projection feeding a
+    partitioned rewrite."""
+    out: dict[str, Column] = {}
+    redacted = text
+    for name, pat, repl in PII_RULES:
+        out[f"n_{name}"] = F.size(
+            F.regexp_extract_all(text, F.lit(pat), F.lit(0))
+        ).cast("int")
+        redacted = F.regexp_replace(redacted, pat, repl)
+    out["redacted"] = redacted
+    return out
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub PII from ``text_col`` in place and append per-pattern counts
+    (n_email, n_ipv4, n_phone). The redacted text replaces the original
+    column, so downstream operators (dedup, packing, routing) compose
+    unchanged."""
+    cols = pii_columns(F.col(text_col))
+    out = df
+    for name, _, _ in PII_RULES:
+        out = out.withColumn(f"n_{name}", cols[f"n_{name}"])
+    return out.withColumn(text_col, cols["redacted"])
+
+
+# ---------------------------------------------------------------------------
+# corpus unigram LM scoring (CCNet-style perplexity-proxy quality filter)
+# ---------------------------------------------------------------------------
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_v: int = 65536,
+) -> DataFrame:
+    """Per-doc mean negative log-likelihood under the corpus's OWN unigram
+    distribution — the cheap stand-in for CCNet's KenLM perplexity filter
+    (high NLL = out-of-distribution / junk, low NLL = stereotyped).
+
+    Determinism discipline (the repo's integer-sum FP rule): each vocab
+    word's log-prob is fixed-pointed ONCE to a BIGINT (round(ln(p)*1e6)),
+    per-doc totals are exact integer sums — so the result is independent of
+    partitioning / summation order, and byte-identical to the DuckDB twin.
+
+    Scale shape at 100 TB: the vocab build is one explode + groupBy on
+    word (map-side combined, output <= |vocab|); the cap to ``top_v`` makes
+    the score-side join broadcastable (everything outside the cap scores as
+    OOV at the floor prob 1/total, exactly what a fixed-vocab LM does);
+    the fact table then aggregates by doc with uniform keys. No sort, no
+    skew: word frequencies are Zipfian but the join side is broadcast so
+    hot words never shuffle.
+    """
+    nrm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    words = df.select(
+        F.col(id_col), F.explode(F.split(nrm, " ")).alias("word")
+    ).filter(F.length("word") > 0)
+
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    total_df = counts.agg(F.sum("cnt").alias("total"))
+    vocab = (
+        counts.crossJoin(F.broadcast(total_df))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(top_v)
+        .select(
+            "word",
+            F.round(F.log(F.col("cnt") / F.col("total")) * 1e6)
+            .cast("long")
+            .alias("lp_e6"),
+        )
+    )
+    floor_lp = (
+        total_df.select(
+            F.round(F.log(F.lit(1.0) / F.col("total")) * 1e6)
+            .cast("long")
+            .alias("floor_lp_e6")
+        )
+    )
+    scored = (
+        words.join(F.broadcast(vocab), "word", "left")
+        .crossJoin(F.broadcast(floor_lp))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.col("lp_e6").isNull().cast("long")).alias("n_oov"),
+            F.sum(F.coalesce("lp_e6", "floor_lp_e6")).alias("sum_lp_e6"),
+        )
+    )
+    base = df.select(F.col(id_col))
+    return base.join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+        F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+        F.coalesce("sum_lp_e6", F.lit(0)).cast("long").alias("sum_lp_e6"),
+        F.when(
+            F.coalesce("n_words", F.lit(0)) > 0,
+            F.round(-F.col("sum_lp_e6") / F.col("n_words")).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("avg_nll_e6"),
+    )

@@ -665,3 +665,67 @@ def test_paragraph_dup_stats_planted_boilerplate(spark):
     assert got[2] == (2, 1, 0.5)
     assert got[3] == (1, 0, 0.0)
     assert got[4] == (0, 0, 0.0)
+
+
+def test_redact_pii_patterns_and_counts(spark):
+    """Each PII rule matches its target, counts come from the ORIGINAL
+    text, redaction applies all rules in order, PII-free text is
+    untouched."""
+    from nginx_log_spark.functions import redact_pii
+
+    rows = [
+        (1, "mail bob.smith+x@sub.example.org now"),
+        (2, "peer 192.168.0.1 and 10.0.0.255 responded"),
+        (3, "call +1 555 0042 or +44 20 7946 0958"),
+        (4, "no pii here at all"),
+        (5, "a@b.co from 8.8.8.8 dial +1 555 1234"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert (got[1].n_email, got[1].n_ipv4, got[1].n_phone) == (1, 0, 0)
+    assert got[1].text == "mail <EMAIL> now"
+    assert (got[2].n_email, got[2].n_ipv4, got[2].n_phone) == (0, 2, 0)
+    assert got[2].text == "peer <IP> and <IP> responded"
+    assert (got[3].n_email, got[3].n_ipv4, got[3].n_phone) == (0, 0, 2)
+    assert got[3].text == "call <PHONE> or <PHONE>"
+    assert (got[4].n_email, got[4].n_ipv4, got[4].n_phone) == (0, 0, 0)
+    assert got[4].text == "no pii here at all"
+    assert got[5].text == "<EMAIL> from <IP> dial <PHONE>"
+
+
+def test_unigram_logprob_score_exact_small(spark):
+    """Hand-computable corpus: 'a a a b' -> p(a)=3/4, p(b)=1/4; fixed-point
+    sums are exact integers; OOV floor applies under a vocab cap."""
+    import math
+
+    from nginx_log_spark.functions import unigram_logprob_score
+
+    df = spark.createDataFrame(
+        [(1, "a a a"), (2, "b")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in unigram_logprob_score(df).collect()}
+    lp_a = round(math.log(3 / 4) * 1e6)
+    lp_b = round(math.log(1 / 4) * 1e6)
+    assert got[1].n_words == 3 and got[1].n_oov == 0
+    assert got[1].sum_lp_e6 == 3 * lp_a
+    assert got[1].avg_nll_e6 == round(-3 * lp_a / 3)
+    assert got[2].sum_lp_e6 == lp_b
+    # cap vocab to 1: 'b' falls out and scores at the floor 1/total
+    capped = {
+        r.doc_id: r
+        for r in unigram_logprob_score(df, top_v=1).collect()
+    }
+    assert capped[2].n_oov == 1
+    assert capped[2].sum_lp_e6 == round(math.log(1 / 4) * 1e6)
+    assert capped[1].n_oov == 0  # 'a' is the top-1 word
+
+
+def test_unigram_logprob_empty_doc_gets_zero_row(spark):
+    from nginx_log_spark.functions import unigram_logprob_score
+
+    df = spark.createDataFrame(
+        [(1, "x y"), (2, "   ")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in unigram_logprob_score(df).collect()}
+    assert got[2].n_words == 0 and got[2].avg_nll_e6 == 0
+    assert got[1].n_words == 2
