@@ -729,3 +729,23 @@ def test_unigram_logprob_empty_doc_gets_zero_row(spark):
     got = {r.doc_id: r for r in unigram_logprob_score(df).collect()}
     assert got[2].n_words == 0 and got[2].avg_nll_e6 == 0
     assert got[1].n_words == 2
+
+
+def test_redact_pii_idempotent_and_complete(spark):
+    """After one redaction pass no PII pattern matches anything, so a
+    second pass is a no-op (the property a re-run scrub job relies on)."""
+    from nginx_log_spark.functions import redact_pii
+
+    rows = [
+        (1, "x a.b-c_d%e+f@g-h.io y 1.2.3.4 z +9 876 543 21 end"),
+        (2, "double bob@x.org bob@x.org 10.0.0.1 10.0.0.1"),
+        (3, "tricky user@[10.0.0.1] and +1 555 0000@mail.com"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = redact_pii(df).select("doc_id", "text")
+    twice = redact_pii(once).collect()
+    for r in twice:
+        assert (r.n_email, r.n_ipv4, r.n_phone) == (0, 0, 0), r
+    once_map = {r.doc_id: r.text for r in once.collect()}
+    for r in twice:
+        assert r.text == once_map[r.doc_id]

@@ -157,3 +157,18 @@ def test_connected_components_round_is_equi_join(spark):
     # lineage cut: the returned plan scans checkpointed RDDs, not the
     # original createDataFrame roots repeated once per round
     assert p.count("ExistingRDD") >= 1
+
+
+def test_unigram_lm_join_broadcasts_no_cartesian(spark, docs):
+    """The LM score-side joins must be broadcast (vocab + two 1-row
+    frames) and the vocab cap a TakeOrderedAndProject — never a sorted
+    shuffle join or a nested-loop over the fact table."""
+    from nginx_log_spark.functions import unigram_logprob_score
+
+    p = plan(unigram_logprob_score(docs))
+    # word-keyed vocab join: broadcast hash (the hint is explicit); the
+    # 1-row total/floor frames are broadcast nested-loop, which is fine —
+    # what must never appear is an unbroadcast cartesian product
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
