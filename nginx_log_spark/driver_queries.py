@@ -2498,16 +2498,40 @@ lm AS (SELECT w.doc_id,
          CAST(COUNT(*) AS BIGINT) AS n_words,
          CAST(SUM(CASE WHEN v.lp_e6 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
          CAST(SUM(COALESCE(v.lp_e6, fl.floor_lp_e6)) AS BIGINT) AS sum_lp_e6
-       FROM w LEFT JOIN v USING (word) CROSS JOIN fl GROUP BY w.doc_id)
+       FROM w LEFT JOIN v USING (word) CROSS JOIN fl GROUP BY w.doc_id),
+ws2 AS (SELECT doc_id,
+          list_filter(string_split(
+            regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+            wd -> length(wd) > 0) AS ws
+        FROM documents),
+bp AS (SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i + 1] AS pair
+       FROM ws2, unnest(range(1, greatest(len(ws), 1))) AS t(i)),
+bc AS (SELECT pair, w1, COUNT(*) AS c12 FROM bp GROUP BY 1, 2),
+bw AS (SELECT w1, COUNT(*) AS c1 FROM bp GROUP BY 1),
+btot AS (SELECT CAST(SUM(c12) AS BIGINT) AS btotal FROM bc),
+bv AS (SELECT pair, CAST(round(ln(c12 / c1) * 1e6) AS BIGINT) AS blp_e6
+       FROM (SELECT bc.pair, bc.c12, bw.c1 FROM bc JOIN bw USING (w1)
+             ORDER BY bc.c12 DESC, bc.pair ASC LIMIT 1048576) q),
+bfl AS (SELECT CAST(round(ln(1.0 / btotal) * 1e6) AS BIGINT) AS floor_blp_e6
+        FROM btot),
+blm AS (SELECT bp.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+          CAST(SUM(COALESCE(bv.blp_e6, bfl.floor_blp_e6)) AS BIGINT) AS sum_blp_e6
+        FROM bp LEFT JOIN bv USING (pair) CROSS JOIN bfl GROUP BY bp.doc_id)
 SELECT d.doc_id, pii.n_email, pii.n_ipv4, pii.n_phone, pii.redacted_fp,
   CAST(COALESCE(lm.n_words, 0) AS BIGINT) AS n_words,
   CAST(COALESCE(lm.n_oov, 0) AS BIGINT) AS n_oov,
   CAST(COALESCE(lm.sum_lp_e6, 0) AS BIGINT) AS sum_lp_e6,
   CASE WHEN COALESCE(lm.n_words, 0) > 0
        THEN CAST(round(-lm.sum_lp_e6 / lm.n_words) AS BIGINT)
-       ELSE 0 END AS avg_nll_e6
+       ELSE 0 END AS avg_nll_e6,
+  CAST(COALESCE(blm.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+  CAST(COALESCE(blm.sum_blp_e6, 0) AS BIGINT) AS sum_blp_e6,
+  CASE WHEN COALESCE(blm.n_bigrams, 0) > 0
+       THEN CAST(round(-blm.sum_blp_e6 / blm.n_bigrams) AS BIGINT)
+       ELSE 0 END AS avg_bnll_e6
 FROM (SELECT doc_id FROM documents) d
-JOIN pii USING (doc_id) LEFT JOIN lm USING (doc_id)"""
+JOIN pii USING (doc_id) LEFT JOIN lm USING (doc_id)
+LEFT JOIN blm USING (doc_id)"""
 
 
 @_register("docs_pii_lm", _PII_LM_O)
@@ -2522,12 +2546,16 @@ def docs_pii_lm(spark, sf):
     non-vacuous exactness check of the scrub a 100 TB pipeline runs at
     scan speed.
 
-    LM half: CCNet-style perplexity proxy under the corpus's own unigram
-    distribution; per-word log-probs fixed-pointed to BIGINT once, per-doc
-    totals exact integer sums (partitioning-order independent), vocab
-    capped to top-65536 so the score-side join is broadcastable with OOV
-    floor scoring."""
-    from nginx_log_spark.functions import redact_pii, unigram_logprob_score
+    LM half: CCNet-style perplexity proxies under the corpus's own unigram
+    AND bigram distributions; per-gram log-probs fixed-pointed to BIGINT
+    once, per-doc totals exact integer sums (partitioning-order
+    independent), vocab capped so the score-side joins are broadcastable
+    with OOV/unseen-bigram floor scoring."""
+    from nginx_log_spark.functions import (
+        bigram_logprob_score,
+        redact_pii,
+        unigram_logprob_score,
+    )
 
     docs = _docs(spark, sf)
     did = F.col("doc_id")
@@ -2556,7 +2584,8 @@ def docs_pii_lm(spark, sf):
         F.md5("text").alias("redacted_fp"),
     )
     lm = unigram_logprob_score(_docs(spark, sf))
-    return pii.join(lm, "doc_id")
+    blm = bigram_logprob_score(_docs(spark, sf))
+    return pii.join(lm, "doc_id").join(blm, "doc_id")
 
 
 def queries() -> dict[str, QueryFn]:

@@ -360,3 +360,83 @@ def unigram_logprob_score(
         .otherwise(F.lit(0))
         .alias("avg_nll_e6"),
     )
+
+
+def bigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_v: int = 1 << 20,
+) -> DataFrame:
+    """Per-doc mean negative log-likelihood under a corpus bigram model —
+    one rung up the CCNet ladder from unigram_logprob_score, same
+    determinism discipline (per-bigram log-probs fixed-pointed to BIGINT
+    once, per-doc totals exact integer sums).
+
+    P(w2|w1) = c(w1 w2) / c(w1 ·), both counts derived from the SAME
+    bigram table (c(w1 ·) = bigrams starting with w1), so the model is
+    self-consistent at document boundaries. Bigrams outside the top_v cap
+    score at the corpus floor 1/B (B = total bigram occurrences) — the
+    fixed-vocab OOV rule.
+
+    Scale shape: bigram extraction is a JVM zip_with over the word array
+    (no Python, no extra scan); the count table is one groupBy on the pair
+    string (map-side combined, <= |V|^2 keys but Zipf-concentrated);
+    the score-side join is broadcast under the cap. The fact table never
+    shuffles except the final by-doc aggregation on uniform ids.
+    """
+    nrm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    ws = F.filter(F.split(nrm, " "), lambda w: F.length(w) > 0)
+    staged = df.select(F.col(id_col), ws.alias("_ws"))
+    pairs_arr = F.when(
+        F.size("_ws") >= 2,
+        F.zip_with(
+            F.slice("_ws", 1, F.size("_ws") - 1),
+            F.slice("_ws", 2, F.size("_ws") - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = staged.select(
+        F.col(id_col), F.explode(pairs_arr).alias("pair")
+    ).withColumn("w1", F.split(F.col("pair"), " ")[0])
+
+    c12 = pairs.groupBy("pair", "w1").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    total_df = c12.agg(F.sum("c12").alias("total"))
+    vocab = (
+        c12.join(c1, "w1")
+        .orderBy(F.desc("c12"), F.asc("pair"))
+        .limit(top_v)
+        .select(
+            "pair",
+            F.round(F.log(F.col("c12") / F.col("c1")) * 1e6)
+            .cast("long")
+            .alias("blp_e6"),
+        )
+    )
+    floor_lp = total_df.select(
+        F.round(F.log(F.lit(1.0) / F.col("total")) * 1e6)
+        .cast("long")
+        .alias("floor_blp_e6")
+    )
+    scored = (
+        pairs.join(F.broadcast(vocab), "pair", "left")
+        .crossJoin(F.broadcast(floor_lp))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.coalesce("blp_e6", "floor_blp_e6")).alias("sum_blp_e6"),
+        )
+    )
+    base = df.select(F.col(id_col))
+    return base.join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("sum_blp_e6", F.lit(0)).cast("long").alias("sum_blp_e6"),
+        F.when(
+            F.coalesce("n_bigrams", F.lit(0)) > 0,
+            F.round(-F.col("sum_blp_e6") / F.col("n_bigrams")).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("avg_bnll_e6"),
+    )

@@ -749,3 +749,41 @@ def test_redact_pii_idempotent_and_complete(spark):
     once_map = {r.doc_id: r.text for r in once.collect()}
     for r in twice:
         assert r.text == once_map[r.doc_id]
+
+
+def test_bigram_logprob_score_exact_small(spark):
+    """Corpus 'a b a b a' + 'b b': bigrams (a b)x2,(b a)x2,(b b)x1;
+    c(a .)=2, c(b .)=3. Hand-check P(b|a)=1, P(a|b)=2/3, P(b|b)=1/3;
+    single-word and empty docs get zero rows, not dropped."""
+    import math
+
+    from nginx_log_spark.functions import bigram_logprob_score
+
+    # Spark's round() is HALF_UP (as is DuckDB's half-away-from-zero, and
+    # avg NLL is always >= 0 so they agree); Python's built-in round is
+    # banker's — use HALF_UP in expectations (exact .5 ties DO occur:
+    # sum=-810930 over 4 bigrams -> 202732.5)
+    def rnd(x: float) -> int:
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "b b"), (3, "solo"), (4, " ")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in bigram_logprob_score(df).collect()}
+    lp_ab = rnd(math.log(2 / 2) * 1e6)   # P(b|a) = 1
+    lp_ba = rnd(math.log(2 / 3) * 1e6)
+    lp_bb = rnd(math.log(1 / 3) * 1e6)
+    assert got[1].n_bigrams == 4
+    assert got[1].sum_blp_e6 == 2 * lp_ab + 2 * lp_ba
+    assert got[1].avg_bnll_e6 == rnd(-(2 * lp_ab + 2 * lp_ba) / 4)
+    assert got[2].n_bigrams == 1 and got[2].sum_blp_e6 == lp_bb
+    # 'solo' has no transition; blank doc has no words
+    assert got[3].n_bigrams == 0 and got[3].avg_bnll_e6 == 0
+    assert got[4].n_bigrams == 0
+    # cap to 1: only the lexicographically-first of the count-2 bigrams
+    # ('a b') stays; every other transition scores at the floor 1/5
+    capped = {r.doc_id: r for r in bigram_logprob_score(df, top_v=1).collect()}
+    floor = rnd(math.log(1 / 5) * 1e6)
+    assert capped[1].sum_blp_e6 == 2 * lp_ab + 2 * floor
+    assert capped[2].sum_blp_e6 == floor
