@@ -89,19 +89,31 @@ _V = f"{_CTE}, v AS (SELECT * FROM logs WHERE valid)"
 # log pipeline: parse / reject / aggregate / top-K  (SURVEY.md §2.3-2.6)
 # ===========================================================================
 
+_PARSE_COLS = (
+    "doc_id, remote_addr, remote_user, time_local, request, status, "
+    "body_bytes_sent, http_referer, http_user_agent, http_x_forwarded_for"
+)
+
+
 @_register(
     "log_parse_fields",
-    f"""{_V} SELECT doc_id, remote_addr, remote_user, time_local, request,
-        status, body_bytes_sent, http_referer, http_user_agent,
-        http_x_forwarded_for FROM v""",
+    f"""{_V} SELECT 'combined' AS fmt, {_PARSE_COLS} FROM v
+        UNION ALL SELECT 'json' AS fmt, {_PARSE_COLS} FROM v""",
 )
 def log_parse_fields(spark, sf):
-    """Full 9-field parse of tokenized lines (c/main.c:413-455 parity)."""
-    return _valid_logs(spark, sf).select(
-        "doc_id", "remote_addr", "remote_user", "time_local", "request",
-        "status", "body_bytes_sent", "http_referer", "http_user_agent",
-        "http_x_forwarded_for",
+    """Full 9-field parse of tokenized lines in BOTH ingest formats:
+    combined text (c/main.c:413-455 parity) and the nginx
+    ``log_format escape=json`` variant (parse/json_source.py). The two
+    branches parse independently-rendered token streams of the same events,
+    so the oracle's UNION hash-verifies cross-format field agreement."""
+    cols = [c.strip() for c in _PARSE_COLS.split(",")]
+    text = _valid_logs(spark, sf).select(F.lit("combined").alias("fmt"), *cols)
+    js = (
+        parity.parsed_json_log_df(spark, sf)
+        .filter(F.col("valid"))
+        .select(F.lit("json").alias("fmt"), *cols)
     )
+    return text.unionByName(js)
 
 
 @_register(

@@ -159,6 +159,42 @@ def parsed_log_df(spark, sf_dir: str):
     return parse_sequences(seq)
 
 
+def events_with_json_log_columns(spark, sf_dir: str):
+    """JSON-format (``log_format escape=json``) twin of
+    events_with_log_columns: the SAME fields rendered as one JSON object per
+    line, same ~1% deterministic truncation (a 20-char prefix of a JSON
+    object is always corrupt), same token encoding."""
+    from pyspark.sql import functions as F
+
+    from nginx_log_spark.parse.json_source import JSON_LOG_FIELDS, json_line_expr
+    from nginx_log_spark.parse.parser import encode_lines
+
+    e = field_exprs("spark")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cols = {name: F.expr(e[name]).cast(t) for name, t in JSON_LOG_FIELDS}
+    good = json_line_expr(cols)
+    line = F.when(
+        F.expr(f"event_id % {MALFORMED_MOD} = 0"), F.substring(good, 1, 20)
+    ).otherwise(good)
+    return (
+        ev.withColumn("doc_id", F.expr(e["doc_id"]))
+        .withColumn("line", line)
+        .withColumn("source", F.expr(e["source"]))
+        .withColumn("tokens", encode_lines(F.col("line")))
+        .withColumn("n_tok", F.size("tokens").cast("int"))
+    )
+
+
+def parsed_json_log_df(spark, sf_dir: str):
+    """Engine path over the JSON source: tokens -> parse_json_sequences."""
+    from nginx_log_spark.parse.json_source import parse_json_sequences
+
+    seq = events_with_json_log_columns(spark, sf_dir).select(
+        "doc_id", "tokens", "n_tok", "source"
+    )
+    return parse_json_sequences(seq)
+
+
 def parsed_ext_log_df(spark, sf_dir: str):
     """Extended-tail variant of the engine path."""
     from pyspark.sql import functions as F
