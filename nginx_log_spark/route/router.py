@@ -40,12 +40,19 @@ def split_rejects(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
     return accepted, rejects
 
 
+# sink formats whose datasources ship inside pyspark's bundled jars AND can
+# carry the tokens array<int> column (per-row invariant); csv cannot —
+# ORC is the columnar alternative, json the interchange one
+_SINK_FORMATS = {"parquet", "orc", "json"}
+
+
 def fan_out_write(
     parsed: DataFrame,
     base_path: str,
     mode: str = "overwrite",
     extra_partition_cols: list[str] | None = None,
     dynamic_overwrite: bool = False,
+    format: str = "parquet",
 ) -> dict[str, str]:
     """Route parsed rows to per-sink parquet directories in ONE scan.
 
@@ -74,7 +81,13 @@ def fan_out_write(
     w = tagged.write.mode(mode).partitionBy(*part_cols)
     if dynamic_overwrite:
         w = w.option("partitionOverwriteMode", "dynamic")
-    w.parquet(base_path)
+    if format not in _SINK_FORMATS:
+        raise ValueError(
+            f"fan_out_write: unsupported sink format {format!r}; "
+            f"bundled formats are {sorted(_SINK_FORMATS)} "
+            "(avro/iceberg need their external runtime jars)"
+        )
+    w.format(format).save(base_path)
     return {
         "routed": f"{base_path}/sink=routed",
         "rejects": f"{base_path}/sink=rejects",

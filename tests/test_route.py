@@ -87,3 +87,26 @@ def test_salted_count_equals_plain(spark):
     plain = {r[0]: r[1] for r in parsed.groupBy("remote_addr").count().collect()}
     salted = {r[0]: r[1] for r in salted_count(parsed, "remote_addr", 8).collect()}
     assert plain == salted
+
+
+def test_fan_out_orc_sink_round_trip(spark, tmp_path):
+    """ORC sink variant (bundled datasource): same dynamic-partition router,
+    token arrays byte-equal through the ORC round trip."""
+    seq = loggen.sequences_df(spark, 500, partitions=2).cache()
+    sinks = fan_out_write(parse_sequences(seq), str(tmp_path), format="orc")
+    routed = spark.read.orc(sinks["routed"])
+    rejects = spark.read.orc(sinks["rejects"])
+    assert routed.count() + rejects.count() == 500
+    inp = {r["doc_id"]: r["tokens"] for r in seq.select("doc_id", "tokens").collect()}
+    for r in routed.unionByName(rejects.select(routed.columns), allowMissingColumns=True) \
+            .select("doc_id", "tokens").collect():
+        assert np.array_equal(r["tokens"], inp[r["doc_id"]]), r["doc_id"]
+    seq.unpersist()
+
+
+def test_fan_out_rejects_unknown_format(spark, tmp_path):
+    import pytest as _pytest
+
+    seq = loggen.sequences_df(spark, 10, partitions=1)
+    with _pytest.raises(ValueError, match="unsupported sink format"):
+        fan_out_write(parse_sequences(seq), str(tmp_path), format="avro")
