@@ -2528,7 +2528,31 @@ bfl AS (SELECT CAST(round(ln(1.0 / btotal) * 1e6) AS BIGINT) AS floor_blp_e6
         FROM btot),
 blm AS (SELECT bp.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
           CAST(SUM(COALESCE(bv.blp_e6, bfl.floor_blp_e6)) AS BIGINT) AS sum_blp_e6
-        FROM bp LEFT JOIN bv USING (pair) CROSS JOIN bfl GROUP BY bp.doc_id)
+        FROM bp LEFT JOIN bv USING (pair) CROSS JOIN bfl GROUP BY bp.doc_id),
+tp AS (SELECT doc_id,
+         ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS tri,
+         ws[i] || ' ' || ws[i + 1] AS p12,
+         ws[i + 1] || ' ' || ws[i + 2] AS p23,
+         ws[i + 2] AS w3
+       FROM ws2, unnest(range(1, greatest(len(ws) - 1, 1))) AS t(i)),
+tc AS (SELECT tri, p12, COUNT(*) AS c3 FROM tp GROUP BY 1, 2),
+tv AS (SELECT tri, CAST(round(ln(c3 / c12) * 1e6) AS BIGINT) AS tlp_e6
+       FROM (SELECT tc.tri, tc.c3, bc.c12 FROM tc JOIN bc ON bc.pair = tc.p12
+             ORDER BY tc.c3 DESC, tc.tri ASC LIMIT 1048576) q),
+tlm AS (SELECT tp.doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+          CAST(SUM(CASE WHEN tv.tlp_e6 IS NULL AND bv.blp_e6 IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_bo_bi,
+          CAST(SUM(CASE WHEN tv.tlp_e6 IS NULL AND bv.blp_e6 IS NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_bo_uni,
+          CAST(SUM(COALESCE(tv.tlp_e6,
+                            -916291 + bv.blp_e6,
+                            -1832582 + COALESCE(v.lp_e6, fl.floor_lp_e6)))
+               AS BIGINT) AS sum_tlp_e6
+        FROM tp LEFT JOIN tv USING (tri)
+             LEFT JOIN bv ON bv.pair = tp.p23
+             LEFT JOIN v ON v.word = tp.w3
+             CROSS JOIN fl
+        GROUP BY tp.doc_id)
 SELECT d.doc_id, pii.n_email, pii.n_ipv4, pii.n_phone, pii.redacted_fp,
   CAST(COALESCE(lm.n_words, 0) AS BIGINT) AS n_words,
   CAST(COALESCE(lm.n_oov, 0) AS BIGINT) AS n_oov,
@@ -2540,10 +2564,17 @@ SELECT d.doc_id, pii.n_email, pii.n_ipv4, pii.n_phone, pii.redacted_fp,
   CAST(COALESCE(blm.sum_blp_e6, 0) AS BIGINT) AS sum_blp_e6,
   CASE WHEN COALESCE(blm.n_bigrams, 0) > 0
        THEN CAST(round(-blm.sum_blp_e6 / blm.n_bigrams) AS BIGINT)
-       ELSE 0 END AS avg_bnll_e6
+       ELSE 0 END AS avg_bnll_e6,
+  CAST(COALESCE(tlm.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+  CAST(COALESCE(tlm.n_bo_bi, 0) AS BIGINT) AS n_bo_bi,
+  CAST(COALESCE(tlm.n_bo_uni, 0) AS BIGINT) AS n_bo_uni,
+  CAST(COALESCE(tlm.sum_tlp_e6, 0) AS BIGINT) AS sum_tlp_e6,
+  CASE WHEN COALESCE(tlm.n_trigrams, 0) > 0
+       THEN CAST(round(-tlm.sum_tlp_e6 / tlm.n_trigrams) AS BIGINT)
+       ELSE 0 END AS avg_tnll_e6
 FROM (SELECT doc_id FROM documents) d
 JOIN pii USING (doc_id) LEFT JOIN lm USING (doc_id)
-LEFT JOIN blm USING (doc_id)"""
+LEFT JOIN blm USING (doc_id) LEFT JOIN tlm USING (doc_id)"""
 
 
 @_register("docs_pii_lm", _PII_LM_O)
@@ -2566,6 +2597,7 @@ def docs_pii_lm(spark, sf):
     from nginx_log_spark.functions import (
         bigram_logprob_score,
         redact_pii,
+        trigram_backoff_score,
         unigram_logprob_score,
     )
 
@@ -2597,7 +2629,8 @@ def docs_pii_lm(spark, sf):
     )
     lm = unigram_logprob_score(_docs(spark, sf))
     blm = bigram_logprob_score(_docs(spark, sf))
-    return pii.join(lm, "doc_id").join(blm, "doc_id")
+    tlm = trigram_backoff_score(_docs(spark, sf))
+    return pii.join(lm, "doc_id").join(blm, "doc_id").join(tlm, "doc_id")
 
 
 def queries() -> dict[str, QueryFn]:

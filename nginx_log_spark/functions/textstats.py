@@ -440,3 +440,156 @@ def bigram_logprob_score(
         .otherwise(F.lit(0))
         .alias("avg_bnll_e6"),
     )
+
+
+# ln(0.4) fixed-pointed once — the stupid-backoff discount (Brants et al.
+# 2007, "Large Language Models in Machine Translation"): backoff chains add
+# this integer, so combined scores stay exact-integer and order-independent
+BACKOFF_ALPHA_E6 = -916291  # round(ln(0.4) * 1e6)
+
+
+def trigram_backoff_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_t: int = 1 << 20,
+    top_b: int = 1 << 20,
+    top_v: int = 65536,
+) -> DataFrame:
+    """Per-doc mean negative log-likelihood under a corpus trigram model
+    with STUPID BACKOFF — the top rung of the repo's CCNet-ladder LM family
+    (unigram -> bigram -> trigram+backoff), same determinism discipline:
+    every model log-prob is fixed-pointed ONCE to BIGINT, backoff chains
+    are integer additions of BACKOFF_ALPHA_E6, per-doc totals are exact
+    integer sums — independent of partitioning and summation order.
+
+    Score of trigram (w1 w2 w3):
+        S = ln(c3(w1w2w3) / c2(w1w2))           if the trigram is in-model
+          | a + ln(c2(w2w3) / c2(w2 .))         elif the bigram is in-model
+          | 2a + ln(c1(w3) / N)                 elif w3 is in-vocab
+          | 2a + ln(1 / N)                      else (OOV floor)
+    with a = ln(0.4). In-model = inside the top_t/top_b/top_v frequency
+    caps (ties broken by key asc) — the caps ARE the fixed model size, so
+    backoff actually fires (a self-scored uncapped corpus model would
+    never back off), and they keep every score-side join broadcastable.
+
+    Scale shape at 100 TB: three count tables (tri/bi/uni) are exploded
+    groupBys with map-side combine, outputs bounded by the caps after
+    top-K; the trigram fact then takes three BROADCAST hash joins + one
+    by-doc aggregation on uniform ids. No skew: Zipf-hot grams live on the
+    broadcast side. Nothing but the final groupBy shuffles the fact.
+    """
+    nrm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    ws = F.filter(F.split(nrm, " "), lambda w: F.length(w) > 0)
+    staged = df.select(F.col(id_col), ws.alias("_ws"))
+
+    # corpus facts: unigrams, bigrams (positions 1..n-1), trigrams (1..n-2)
+    words = staged.select(F.col(id_col), F.explode("_ws").alias("word"))
+    pair_arr = F.when(
+        F.size("_ws") >= 2,
+        F.zip_with(
+            F.slice("_ws", 1, F.size("_ws") - 1),
+            F.slice("_ws", 2, F.size("_ws") - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = staged.select(F.col(id_col), F.explode(pair_arr).alias("pair"))
+    tri_arr = F.when(
+        F.size("_ws") >= 3,
+        F.zip_with(
+            F.slice("_ws", 1, F.size("_ws") - 2),
+            F.zip_with(
+                F.slice("_ws", 2, F.size("_ws") - 2),
+                F.slice("_ws", 3, F.size("_ws") - 2),
+                lambda b, c: F.concat(b, F.lit(" "), c),
+            ),
+            lambda a, bc: F.concat(a, F.lit(" "), bc),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tris = staged.select(F.col(id_col), F.explode(tri_arr).alias("tri"))
+
+    # model tables (each capped, fixed-pointed once)
+    wcnt = words.groupBy("word").agg(F.count(F.lit(1)).alias("c1"))
+    wtot = wcnt.agg(F.sum("c1").alias("total"))
+    uv = (
+        wcnt.crossJoin(F.broadcast(wtot))
+        .orderBy(F.desc("c1"), F.asc("word"))
+        .limit(top_v)
+        .select(
+            F.col("word").alias("w3"),
+            F.round(F.log(F.col("c1") / F.col("total")) * 1e6).cast("long").alias("ulp_e6"),
+        )
+    )
+    floor_lp = wtot.select(
+        F.round(F.log(F.lit(1.0) / F.col("total")) * 1e6).cast("long").alias("floor_ulp_e6")
+    )
+
+    pcnt = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("c12"))
+    p_w1 = pairs.select(F.split(F.col("pair"), " ")[0].alias("w1")).groupBy("w1").agg(
+        F.count(F.lit(1)).alias("cw1")
+    )
+    bv = (
+        pcnt.withColumn("w1", F.split(F.col("pair"), " ")[0])
+        .join(p_w1, "w1")
+        .orderBy(F.desc("c12"), F.asc("pair"))
+        .limit(top_b)
+        .select(
+            F.col("pair").alias("p23"),
+            F.round(F.log(F.col("c12") / F.col("cw1")) * 1e6).cast("long").alias("blp_e6"),
+        )
+    )
+
+    tcnt = tris.groupBy("tri").agg(F.count(F.lit(1)).alias("c3"))
+    tv = (
+        tcnt.withColumn(
+            "p12",
+            F.concat(F.split(F.col("tri"), " ")[0], F.lit(" "), F.split(F.col("tri"), " ")[1]),
+        )
+        .join(pcnt.select(F.col("pair").alias("p12"), "c12"), "p12")
+        .orderBy(F.desc("c3"), F.asc("tri"))
+        .limit(top_t)
+        .select(
+            "tri",
+            F.round(F.log(F.col("c3") / F.col("c12")) * 1e6).cast("long").alias("tlp_e6"),
+        )
+    )
+
+    # score-side: three broadcast joins over the trigram fact
+    a = F.lit(BACKOFF_ALPHA_E6)
+    fact = (
+        tris.withColumn("_w", F.split(F.col("tri"), " "))
+        .withColumn("p23", F.concat(F.col("_w")[1], F.lit(" "), F.col("_w")[2]))
+        .withColumn("w3", F.col("_w")[2])
+        .join(F.broadcast(tv), "tri", "left")
+        .join(F.broadcast(bv), "p23", "left")
+        .join(F.broadcast(uv), "w3", "left")
+        .crossJoin(F.broadcast(floor_lp))
+        .withColumn(
+            "lp_e6",
+            F.coalesce(
+                F.col("tlp_e6"),
+                a + F.col("blp_e6"),
+                a + a + F.coalesce(F.col("ulp_e6"), F.col("floor_ulp_e6")),
+            ),
+        )
+    )
+    scored = fact.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.sum((F.col("tlp_e6").isNull() & F.col("blp_e6").isNotNull()).cast("long")).alias("n_bo_bi"),
+        F.sum((F.col("tlp_e6").isNull() & F.col("blp_e6").isNull()).cast("long")).alias("n_bo_uni"),
+        F.sum("lp_e6").alias("sum_tlp_e6"),
+    )
+    base = df.select(F.col(id_col))
+    return base.join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_trigrams", F.lit(0)).cast("long").alias("n_trigrams"),
+        F.coalesce("n_bo_bi", F.lit(0)).cast("long").alias("n_bo_bi"),
+        F.coalesce("n_bo_uni", F.lit(0)).cast("long").alias("n_bo_uni"),
+        F.coalesce("sum_tlp_e6", F.lit(0)).cast("long").alias("sum_tlp_e6"),
+        F.when(
+            F.coalesce("n_trigrams", F.lit(0)) > 0,
+            F.round(-F.col("sum_tlp_e6") / F.col("n_trigrams")).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("avg_tnll_e6"),
+    )

@@ -73,6 +73,9 @@ def fan_out_write(
     idempotent-retry mode used by streaming/checkpoint resume. With an
     Iceberg catalog this whole function becomes
     ``writeTo(tbl).overwritePartitions()`` (see route.iceberg_fan_out).
+
+    ``format``: sink datasource — parquet (default), orc, or json; all
+    bundled with pyspark and able to carry the tokens array column.
     """
     tagged = with_status_class(parsed).withColumn(
         "sink", F.when(F.col("valid"), F.lit("routed")).otherwise(F.lit("rejects"))
