@@ -2284,6 +2284,13 @@ WHERE """
     + " < least(q.quality_score, 1.0)"
 )
 
+_QUOTA_O = f"""SELECT 'source_quota' AS variant, doc_id, source AS label
+FROM (SELECT q.doc_id, d.source,
+        row_number() OVER (PARTITION BY d.source
+                           ORDER BY q.quality_score DESC, q.doc_id ASC) AS rn
+      FROM ({_QUALITY_ORACLE}) q JOIN documents d USING (doc_id)) t
+WHERE rn <= 5"""
+
 _SAMPLING_O = f"""
 SELECT 'bernoulli' AS variant, doc_id, source AS label FROM ({_SAMPLE_HASH_O})
 UNION ALL
@@ -2292,6 +2299,8 @@ UNION ALL
 SELECT 'split' AS variant, doc_id, split AS label FROM ({_SPLIT_O})
 UNION ALL
 {_QW_O}
+UNION ALL
+{_QUOTA_O}
 """
 
 
@@ -2302,8 +2311,11 @@ def docs_sampling(spark, sf):
     exhaustive train-val split, and quality-weighted importance sampling
     (P(keep) = quality_score) — all membership decisions are pure
     (key, seed) hash predicates over deterministic scores, identical on
-    any cluster size or engine."""
-    from nginx_log_spark.functions import score_weighted_sample
+    any cluster size or engine. Plus the per-source quota cap (keep the
+    best k=5 per source by quality, ties id-asc): the domain-cap curation
+    op, two-phase-ranked so no task ever sorts a hot source's full row
+    set."""
+    from nginx_log_spark.functions import score_weighted_sample, source_quota_cap
 
     bern = docs_sample_hash(spark, sf).select(
         F.lit("bernoulli").alias("variant"), "doc_id",
@@ -2324,7 +2336,13 @@ def docs_sampling(spark, sf):
         F.lit("quality_weighted").alias("variant"), "doc_id",
         F.col("source").alias("label"),
     )
-    return bern.unionAll(strat).unionAll(split).unionAll(qw)
+    quota = source_quota_cap(
+        _docs(spark, sf), qscore, k=5, buckets=8
+    ).select(
+        F.lit("source_quota").alias("variant"), "doc_id",
+        F.col("source").alias("label"),
+    )
+    return bern.unionAll(strat).unionAll(split).unionAll(qw).unionAll(quota)
 
 
 @_register(

@@ -120,3 +120,49 @@ def sample_oracle_pred(key_sql: str, rate_sql: str, seed: str = "0") -> str:
         f"(('0x' || substr(md5('{seed}' || {key_sql}), 1, 8))::BIGINT"
         f" / 4294967296.0) < ({rate_sql})"
     )
+
+
+def source_quota_cap(
+    df: DataFrame,
+    score: Column,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    k: int = 1000,
+    buckets: int = 64,
+) -> DataFrame:
+    """Per-source quota: keep at most ``k`` rows per ``key_col``, the best
+    first by (score desc, id asc) — the domain/URL cap every production
+    corpus pipeline runs (a single hot crawl domain must not dominate the
+    mixture). Deterministic: ties break on the id, so the kept set is a
+    pure function of the data.
+
+    Scale shape (the repo's two-phase rank rule): a plain
+    ``row_number() OVER (PARTITION BY source)`` sorts a hot domain's
+    ENTIRE row set in one task — the exact skew this cap exists to fight.
+    Phase 1 ranks within (key, hash-bucket of id) — ``buckets``-way
+    parallel per key — and keeps only local rank <= k; any row in the true
+    per-key top-k is in its bucket's top-k (superset argument), so phase 2
+    ranks the <= buckets*k survivors per key exactly. The final window
+    touches O(buckets*k) rows per key, never the raw row count.
+
+    Returns the kept rows with their exact ``quota_rank`` (1..k).
+    """
+    from pyspark.sql import Window
+
+    sdf = df.withColumn("_q_score", score).withColumn(
+        "_q_bkt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(buckets))
+    )
+    w1 = Window.partitionBy(key_col, "_q_bkt").orderBy(
+        F.desc("_q_score"), F.asc(id_col)
+    )
+    survivors = (
+        sdf.withColumn("_q_rn1", F.row_number().over(w1))
+        .filter(F.col("_q_rn1") <= k)
+        .drop("_q_rn1")
+    )
+    w2 = Window.partitionBy(key_col).orderBy(F.desc("_q_score"), F.asc(id_col))
+    return (
+        survivors.withColumn("quota_rank", F.row_number().over(w2))
+        .filter(F.col("quota_rank") <= k)
+        .drop("_q_score", "_q_bkt")
+    )

@@ -787,3 +787,34 @@ def test_bigram_logprob_score_exact_small(spark):
     floor = rnd(math.log(1 / 5) * 1e6)
     assert capped[1].sum_blp_e6 == 2 * lp_ab + 2 * floor
     assert capped[2].sum_blp_e6 == floor
+
+
+def test_source_quota_cap_matches_naive_window(spark):
+    """Two-phase bucketed quota == plain per-key window, including a hot
+    key 50x larger than the rest and score ties broken by id."""
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from nginx_log_spark.functions import source_quota_cap
+
+    rows = []
+    for i in range(500):  # hot source
+        rows.append(("hot", f"d{i:04d}", float(i % 7)))  # heavy score ties
+    for s in ("a", "b"):
+        for i in range(10):
+            rows.append((s, f"{s}{i:02d}", float(i)))
+    rows.append(("tiny", "t0", 1.0))  # fewer rows than k
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["source", "doc_id", "sc"]))
+
+    got = source_quota_cap(df, F.col("sc"), k=8, buckets=16).select(
+        "source", "doc_id", "quota_rank"
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("sc"), F.asc("doc_id"))
+    exp = (
+        df.withColumn("quota_rank", F.row_number().over(w))
+        .filter(F.col("quota_rank") <= 8)
+        .select("source", "doc_id", "quota_rank")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+    n_per = {r["source"]: r["n"] for r in got.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert n_per == {"hot": 8, "a": 8, "b": 8, "tiny": 1}
