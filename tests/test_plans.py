@@ -172,3 +172,32 @@ def test_unigram_lm_join_broadcasts_no_cartesian(spark, docs):
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_source_quota_cap_two_phase_window(spark, docs):
+    """Phase-1 window must partition by (source, id-hash bucket) — the
+    bucketed pre-rank — so no single task sorts a hot source's full rows;
+    phase 2's exact per-source window only sees the filtered survivors."""
+    from nginx_log_spark.functions import source_quota_cap
+    from nginx_log_spark.functions.textstats import quality_columns
+
+    p = plan(
+        source_quota_cap(
+            docs, quality_columns(F.col("text"))["quality_score"], k=5, buckets=8
+        )
+    )
+    assert "xxhash64" in p and "pmod" in p  # bucketed phase-1 partition key
+    assert p.count("Window") >= 2  # pre-rank + exact rank
+    assert "CartesianProduct" not in p
+
+
+def test_parse_json_lines_stays_in_codegen(spark, docs):
+    """The JSON source must be scan -> codegen'd projections only: no
+    Python eval stage, no exchange, and column pruning reaching parquet."""
+    from nginx_log_spark.parse.json_source import parse_json_lines
+
+    p = plan(parse_json_lines(docs.select(F.col("text").alias("line"))))
+    assert "from_json" in p
+    assert "EvalPython" not in p
+    assert "Exchange" not in p
+    assert "ReadSchema: struct<text:string>" in p

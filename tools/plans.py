@@ -110,6 +110,37 @@ def main() -> None:
         plan(unigram_logprob_score(docs)),
     ))
 
+    from nginx_log_spark.functions import source_quota_cap, trigram_backoff_score
+    from nginx_log_spark.parse.json_source import parse_json_lines
+    from nginx_log_spark.functions.textstats import quality_columns
+
+    sections.append((
+        "trigram_backoff_score (stupid-backoff LM)",
+        "All three model tables (tri/bi/uni, each a TakeOrderedAndProject "
+        "frequency cap) reach the trigram fact as BroadcastHashJoins; the "
+        "backoff chain is a coalesce of integer adds, and the fact shuffles "
+        "only for the final by-doc HashAggregate.",
+        plan(trigram_backoff_score(docs)),
+    ))
+
+    sections.append((
+        "source_quota_cap (domain cap, two-phase rank)",
+        "Two Window+Sort pairs: the first partitions by (source, "
+        "pmod(xxhash64(id))) — buckets-way parallel per key — and filters "
+        "to local top-k; only the <= buckets*k survivors reach the exact "
+        "per-source window. No single task ever sorts a hot domain's full "
+        "row set.",
+        plan(source_quota_cap(docs, quality_columns(F.col("text"))["quality_score"], k=5, buckets=8)),
+    ))
+
+    sections.append((
+        "parse_json_lines (JSON log source)",
+        "from_json + struct projection stays entirely inside "
+        "WholeStageCodegen — no Python stage, no shuffle; a corrupt line "
+        "becomes a null struct so reject detection is free.",
+        plan(parse_json_lines(docs.select(F.col("text").alias("line")))),
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by tools/plans.py)\n"]
     out.append(
         "Each section: the claim the 100 TB design makes, then the actual\n"
