@@ -2159,10 +2159,30 @@ def log_token_bigrams(spark, sf):
     )
 
 
+_ENTROPY_O = f"""{_CTE}
+SELECT CAST(floor(e6 / 100000.0) AS INT) AS a, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (
+  SELECT CAST(round(ln(n) * 1e6 - s / n) AS BIGINT) AS e6
+  FROM (
+    SELECT doc_id, SUM(c) AS n,
+           SUM(c * CAST(round(ln(c) * 1e6) AS BIGINT)) AS s
+    FROM (
+      SELECT doc_id, ascii(substr(line, i, 1)) AS token,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, line, unnest(range(1, length(line) + 1)) AS i
+            FROM logs)
+      GROUP BY doc_id, token
+    ) GROUP BY doc_id
+  ) WHERE n > 0
+) GROUP BY a"""
+
+
 _TOKEN_STATS_O = f"""
 SELECT 'vocab' AS kind, CAST(token AS INT) AS a, -1 AS b, cnt FROM ({_VOCAB_O})
 UNION ALL
 SELECT 'bigram' AS kind, CAST(a AS INT) AS a, CAST(b AS INT) AS b, cnt FROM ({_BIGRAM_O})
+UNION ALL
+SELECT 'entropy' AS kind, a, -1 AS b, cnt FROM ({_ENTROPY_O})
 """
 
 
@@ -2170,8 +2190,12 @@ SELECT 'bigram' AS kind, CAST(a AS INT) AS a, CAST(b AS INT) AS b, cnt FROM ({_B
 def log_token_stats(spark, sf):
     """Token-level LM stats composited: the global token-id histogram (per-
     partition numpy bincount partials — the shuffle is vocab-sized, never
-    token-volume) and the top-100 adjacent-token bigrams (map-side partial
-    agg bounds each partition's emit at |V|^2 keys)."""
+    token-volume), the top-100 adjacent-token bigrams (map-side partial
+    agg bounds each partition's emit at |V|^2 keys), and the per-doc token
+    entropy histogram (shuffle-free JVM run-length lambdas per doc, only a
+    ~100-bucket histogram aggregates)."""
+    from nginx_log_spark.functions.tokenstats import doc_entropy_histogram
+
     vocab = log_token_vocab(spark, sf).select(
         F.lit("vocab").alias("kind"), F.col("token").cast("int").alias("a"),
         F.lit(-1).cast("int").alias("b"), "cnt",
@@ -2180,7 +2204,12 @@ def log_token_stats(spark, sf):
         F.lit("bigram").alias("kind"), F.col("a").cast("int").alias("a"),
         F.col("b").cast("int").alias("b"), "cnt",
     )
-    return vocab.unionAll(bi)
+    seq = parity.events_with_log_columns(spark, sf).select("tokens")
+    ent = doc_entropy_histogram(seq).select(
+        F.lit("entropy").alias("kind"), F.col("bucket").cast("int").alias("a"),
+        F.lit(-1).cast("int").alias("b"), F.col("n_docs").alias("cnt"),
+    )
+    return vocab.unionAll(bi).unionAll(ent)
 
 
 def _u_sql(key_sql: str, seed: str) -> str:
