@@ -1,3 +1,7 @@
+from nginx_log_spark.route.bucketed import (  # noqa: F401
+    bucketed_join,
+    write_bucketed,
+)
 from nginx_log_spark.route.router import (  # noqa: F401
     fan_out_write,
     iceberg_catalog_available,

@@ -141,6 +141,35 @@ def main() -> None:
         plan(parse_json_lines(docs.select(F.col("text").alias("line")))),
     ))
 
+    from nginx_log_spark.functions import token_entropy_e6
+    from nginx_log_spark.route import bucketed_join, write_bucketed
+
+    sections.append((
+        "token_entropy_e6 (per-doc token entropy)",
+        "The whole run-length entropy chain is one codegen'd Project over "
+        "the token arrays — no Exchange, no Python stage; only the ~100-"
+        "bucket histogram aggregates.",
+        plan(seq.select(token_entropy_e6().alias("e6"))),
+    ))
+
+    left = docs.select("doc_id", "source", "n_chars")
+    right = docs.select("doc_id", F.length("text").alias("n_text"))
+    write_bucketed(left, "plans_docs_meta", "doc_id", n_buckets=8)
+    write_bucketed(right, "plans_docs_len", "doc_id", n_buckets=8)
+    old_abt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sections.append((
+        "bucketed_join (co-located fact/enrichment join)",
+        "Both scans expose the table bucketing (SelectedBucketsCount), so "
+        "the SortMergeJoin has NO Exchange on either side — the write-time "
+        "shuffle is amortized over every later doc_id-wise join/agg; on "
+        "Iceberg the same property comes from a bucket partition transform.",
+        plan(bucketed_join(spark, "plans_docs_meta", "plans_docs_len", "doc_id")),
+    ))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_abt)
+    spark.sql("DROP TABLE IF EXISTS plans_docs_meta")
+    spark.sql("DROP TABLE IF EXISTS plans_docs_len")
+
     out = ["# PLANS — physical-plan evidence (generated by tools/plans.py)\n"]
     out.append(
         "Each section: the claim the 100 TB design makes, then the actual\n"
