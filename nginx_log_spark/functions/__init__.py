@@ -46,6 +46,12 @@ from nginx_log_spark.functions.sampling import (  # noqa: F401
     stratified_sample,
     train_val_split,
 )
+from nginx_log_spark.functions.approx import (  # noqa: F401
+    approx_distinct_by,
+    approx_quantiles_by,
+    distinct_sketches,
+    estimate_distinct,
+)
 from nginx_log_spark.functions.tokenstats import (  # noqa: F401
     doc_entropy_histogram,
     token_entropy_e6,
