@@ -2,6 +2,10 @@ from nginx_log_spark.route.bucketed import (  # noqa: F401
     bucketed_join,
     write_bucketed,
 )
+from nginx_log_spark.route.compact import (  # noqa: F401
+    compact_sink,
+    partition_file_stats,
+)
 from nginx_log_spark.route.router import (  # noqa: F401
     fan_out_write,
     iceberg_catalog_available,
