@@ -51,7 +51,12 @@ from nginx_log_spark.functions import (
 )
 from nginx_log_spark.parse.parser import decode_tokens
 from nginx_log_spark.reports import reports as R
-from nginx_log_spark.route import salted_count, with_status_class
+from nginx_log_spark.route import (
+    detect_hot_keys,
+    salted_count,
+    salted_join,
+    with_status_class,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -461,22 +466,74 @@ def log_parse_tier_stats(spark, sf):
     return parse_tier_stats(seq)
 
 
-@_register("log_salted_topk", _top_oracle("remote_addr", 20))
+_SKEW_O = f"""{_V},
+agg AS (SELECT remote_addr, COUNT(*) AS cnt FROM v GROUP BY remote_addr),
+tot AS (SELECT COUNT(*) AS c FROM v),
+dim AS (SELECT remote_addr,
+        CASE WHEN COUNT(*) >= 100 THEN 'hot'
+             WHEN COUNT(*) >= 10 THEN 'warm'
+             ELSE 'cold' END AS ip_tier
+        FROM v GROUP BY remote_addr),
+topk AS (SELECT 'agg' AS tag, remote_addr AS "key",
+         CAST(cnt AS BIGINT) AS cnt, round((cnt / c) * 100.0, 2) AS pct
+         FROM agg, tot ORDER BY cnt DESC, remote_addr LIMIT 20),
+jn AS (SELECT 'join' AS tag, ip_tier AS "key",
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       round((COUNT(*) / MIN(c)) * 100.0, 2) AS pct
+       FROM v JOIN dim USING (remote_addr), tot GROUP BY ip_tier)
+SELECT * FROM topk UNION ALL SELECT * FROM jn"""
+
+
+@_register("log_salted_topk", _SKEW_O)
 def log_salted_topk(spark, sf):
-    """Skew-safe two-phase salted aggregation == plain aggregation."""
+    """Skew-safe operators composited (registry consolidation): tag='agg' is
+    the two-phase salted aggregation (== plain top-20 by IP with pct);
+    tag='join' is the salted hot-key join — a derived per-IP tier dim joined
+    back to the fact with hot keys (detect_hot_keys, threshold 50) salted
+    over 8 buckets, then per-tier counts. Both branches must equal the
+    unsalted plain-SQL forms exactly (the salt is a physical rearrangement,
+    never a semantic one)."""
     v = _valid_logs(spark, sf)
-    cnts = salted_count(v, "remote_addr", salt_buckets=8)
     tot = v.agg(F.count(F.lit(1)).alias("_tot"))
-    return (
+    cnts = salted_count(v, "remote_addr", salt_buckets=8)
+    agg = (
         cnts.crossJoin(F.broadcast(tot))
         .select(
-            "remote_addr",
+            F.lit("agg").alias("tag"),
+            F.col("remote_addr").alias("key"),
             "cnt",
             F.round(F.col("cnt") / F.col("_tot") * 100.0, 2).alias("pct"),
         )
-        .orderBy(F.desc("cnt"), F.asc("remote_addr"))
+        .orderBy(F.desc("cnt"), F.asc("key"))
         .limit(20)
     )
+    dim = (
+        v.groupBy("remote_addr")
+        .agg(F.count(F.lit(1)).alias("ip_total"))
+        .select(
+            "remote_addr",
+            F.when(F.col("ip_total") >= 100, "hot")
+            .when(F.col("ip_total") >= 10, "warm")
+            .otherwise("cold")
+            .alias("ip_tier"),
+        )
+    )
+    hot = detect_hot_keys(v, "remote_addr", threshold=50)
+    joined = salted_join(
+        v.select("remote_addr"), dim, "remote_addr", salt_buckets=8, hot_keys=hot
+    )
+    jn = (
+        joined.groupBy("ip_tier")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.lit("join").alias("tag"),
+            F.col("ip_tier").alias("key"),
+            "cnt",
+            F.round(F.col("cnt") / F.col("_tot") * 100.0, 2).alias("pct"),
+        )
+    )
+    return agg.unionByName(jn)
 
 
 # ===========================================================================

@@ -156,3 +156,94 @@ def salted_count(
         .agg(F.count(F.lit(1)).alias("_pc"))
     )
     return partial.groupBy(key).agg(F.sum("_pc").alias(cnt_col))
+
+
+def detect_hot_keys(
+    df: DataFrame,
+    key: str,
+    threshold: int = 1000,
+    sample_frac: float | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Keys of ``df`` whose (estimated) row count is >= ``threshold``.
+
+    With ``sample_frac`` the count runs over a Bernoulli sample and the
+    threshold is scaled down proportionally — at 100 TB a 0.1% sample still
+    sees a genuinely hot key (>=10^6 rows) thousands of times, so the
+    estimate is tight exactly where it matters; cold keys misclassified as
+    hot only cost harmless extra salting. Returns DataFrame[key] — by
+    construction at most |input|/threshold rows, so it is broadcastable.
+    """
+    src = df.sample(fraction=sample_frac, seed=seed) if sample_frac else df
+    eff = max(1, int(threshold * (sample_frac or 1.0)))
+    return (
+        src.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_hk_cnt"))
+        .filter(F.col("_hk_cnt") >= eff)
+        .select(key)
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    hot_keys: DataFrame | None = None,
+    how: str = "inner",
+    seed: int = 42,
+) -> DataFrame:
+    """Skew-safe equi-join for when ``small`` is too big to broadcast AND
+    ``big`` has hot keys: rows of ``big`` whose key is hot get a random salt
+    in [0, salt_buckets); the matching ``small`` rows are replicated once
+    per salt value; everything else keeps salt 0 (no replication). The join
+    then runs on (key, salt), spreading each hot key over ``salt_buckets``
+    reducers instead of pinning one.
+
+    Exactness: every (big_row, small_row) key match meets on exactly one
+    salt value — big_row's — so the result multiset equals the plain join's.
+    Replication cost is bounded by |hot_keys| x salt_buckets rows of
+    ``small``, NOT |small| x salt_buckets.
+
+    ``hot_keys`` (DataFrame[key]) defaults to ``detect_hot_keys(big, key)``
+    — pass a sampled detection at scale. Only ``inner`` and ``left`` are
+    supported: for right/full outer, unmatched replicated small rows would
+    surface ``salt_buckets`` times. Non-key column names of ``big`` and
+    ``small`` must not collide (standard equi-join caveat).
+
+    Note AQE's skew-join split (``spark.sql.adaptive.skewJoin``) handles
+    this at runtime for sort-merge joins; this operator is the explicit
+    form — deterministic plan shape, works under broadcast-disabled
+    shuffle-hash joins, and composable with bucketed tables.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if hot_keys is None:
+        hot_keys = detect_hot_keys(big, key)
+    hot = F.broadcast(
+        hot_keys.select(F.col(key).alias("_hk_key")).withColumn("_hk", F.lit(True))
+    )
+    b = (
+        big.join(hot, F.col(key) == F.col("_hk_key"), "left")
+        .withColumn(
+            "_salt",
+            F.when(
+                F.col("_hk").isNotNull(), (F.rand(seed) * salt_buckets).cast("int")
+            ).otherwise(F.lit(0)),
+        )
+        .drop("_hk_key", "_hk")
+    )
+    s = (
+        small.join(hot, F.col(key) == F.col("_hk_key"), "left")
+        .withColumn(
+            "_salt",
+            F.explode(
+                F.when(
+                    F.col("_hk").isNotNull(),
+                    F.sequence(F.lit(0), F.lit(salt_buckets - 1)),
+                ).otherwise(F.array(F.lit(0)))
+            ),
+        )
+        .drop("_hk_key", "_hk")
+    )
+    return b.join(s, on=[key, "_salt"], how=how).drop("_salt")

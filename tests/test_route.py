@@ -110,3 +110,95 @@ def test_fan_out_rejects_unknown_format(spark, tmp_path):
     seq = loggen.sequences_df(spark, 10, partitions=1)
     with _pytest.raises(ValueError, match="unsupported sink format"):
         fan_out_write(parse_sequences(seq), str(tmp_path), format="avro")
+
+
+# --- salted hot-key join ---------------------------------------------------
+
+
+def _skewed_frames(spark):
+    """big: 2000 rows of one hot key + 200 distinct cold keys; small: a dim
+    with one row per key present plus one key absent from big."""
+    import pandas as pd
+
+    big = pd.DataFrame(
+        {
+            "k": ["hot.ip"] * 2000 + [f"cold-{i}" for i in range(200)],
+            "payload": list(range(2200)),
+        }
+    )
+    small = pd.DataFrame(
+        {
+            "k": ["hot.ip"] + [f"cold-{i}" for i in range(200)] + ["absent"],
+            "attr": ["H"] + ["C"] * 200 + ["X"],
+        }
+    )
+    return spark.createDataFrame(big).repartition(8), spark.createDataFrame(small)
+
+
+def test_salted_join_equals_plain_inner(spark):
+    from nginx_log_spark.route import detect_hot_keys, salted_join
+
+    big, small = _skewed_frames(spark)
+    hot = detect_hot_keys(big, "k", threshold=100)
+    assert [r["k"] for r in hot.collect()] == ["hot.ip"]
+
+    got = salted_join(big, small, "k", salt_buckets=8, hot_keys=hot)
+    want = big.join(small, "k", "inner")
+    g = sorted(map(tuple, got.select("k", "payload", "attr").collect()))
+    w = sorted(map(tuple, want.select("k", "payload", "attr").collect()))
+    assert g == w and len(g) == 2200
+
+
+def test_salted_join_equals_plain_left(spark):
+    from nginx_log_spark.route import salted_join
+
+    big, small = _skewed_frames(spark)
+    only_cold_dim = small.filter(small["k"] != "hot.ip")
+    got = salted_join(big, only_cold_dim, "k", salt_buckets=4, how="left")
+    want = big.join(only_cold_dim, "k", "left")
+    g = sorted(map(tuple, got.select("k", "payload", "attr").collect()))
+    w = sorted(map(tuple, want.select("k", "payload", "attr").collect()))
+    # hot rows keep exactly one copy each with a null attr
+    assert g == w and len(g) == 2200
+
+
+def test_salted_join_auto_detection_and_how_guard(spark):
+    import pytest as _pytest
+
+    from nginx_log_spark.route import salted_join
+
+    big, small = _skewed_frames(spark)
+    got = salted_join(big, small, "k", salt_buckets=8)  # hot_keys=None path
+    assert got.count() == 2200
+    with _pytest.raises(ValueError, match="inner/left"):
+        salted_join(big, small, "k", how="full")
+
+
+def test_salted_join_detection_sampled(spark):
+    from nginx_log_spark.route import detect_hot_keys
+
+    big, _ = _skewed_frames(spark)
+    hot = detect_hot_keys(big, "k", threshold=400, sample_frac=0.5, seed=7)
+    ks = [r["k"] for r in hot.collect()]
+    assert "hot.ip" in ks  # 2000-row key is unmissable at 50% sampling
+    assert all(k == "hot.ip" for k in ks)  # cold keys (1 row) stay cold
+
+
+def test_salted_join_plan_salts_the_join_keys(spark):
+    """With broadcast disabled, the physical join must key on (k, _salt) —
+    i.e. the hot key's rows really are spread over salt_buckets reducers."""
+    from nginx_log_spark.route import detect_hot_keys, salted_join
+
+    big, small = _skewed_frames(spark)
+    hot = detect_hot_keys(big, "k", threshold=100)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        got = salted_join(big, small, "k", salt_buckets=8, hot_keys=hot)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    join_lines = [
+        ln for ln in plan.splitlines() if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln
+    ]
+    assert any("_salt" in ln for ln in join_lines), plan
