@@ -36,7 +36,7 @@ def main(argv: list[str] | None = None) -> int:
                          "variants (default: the C tool's exact-3-digit gate)")
     args = ap.parse_args(argv)
 
-    from nginx_log_spark.parse import parse_lines, parse_sequences
+    from nginx_log_spark.parse import parse_lines, parse_sequences, read_log_lines
     from nginx_log_spark.reports.render import render_full_report
     from nginx_log_spark.session import get_spark
 
@@ -53,9 +53,9 @@ def main(argv: list[str] | None = None) -> int:
     if path.endswith(".parquet") or _is_parquet_dir(path):
         parsed = parse_sequences(spark.read.parquet(path), status_3digit=s3)
     else:
-        parsed = parse_lines(
-            spark.read.text(path).withColumnRenamed("value", "line"), status_3digit=s3
-        )
+        # read_log_lines handles rotated .gz/.bz2 logs and restores parse
+        # parallelism when a non-splittable codec caps the scan width
+        parsed = parse_lines(read_log_lines(spark, path), status_3digit=s3)
 
     # stderr echo of rejected lines, c/main.c:480-483 (doc_id for token input).
     # toLocalIterator streams one partition at a time — bounded driver memory

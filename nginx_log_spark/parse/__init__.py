@@ -11,6 +11,10 @@ from nginx_log_spark.parse.parser import (  # noqa: F401
     decode_tokens,
     parsed_schema,
 )
+from nginx_log_spark.parse.text_source import (  # noqa: F401
+    codec_splittable,
+    read_log_lines,
+)
 from nginx_log_spark.parse.parser import parse_lines as parse_lines_pandas  # noqa: F401
 from nginx_log_spark.parse.parser import parse_sequences as parse_sequences_pandas  # noqa: F401
 
