@@ -56,6 +56,11 @@ from nginx_log_spark.functions.tokenstats import (  # noqa: F401
     doc_entropy_histogram,
     token_entropy_e6,
 )
+from nginx_log_spark.functions.bpe import (  # noqa: F401
+    apply_bpe,
+    encode_word,
+    learn_bpe,
+)
 from nginx_log_spark.functions.textstats import (  # noqa: F401
     bigram_logprob_score,
     doc_fingerprint,
