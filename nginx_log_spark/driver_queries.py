@@ -805,6 +805,20 @@ def events_retention(spark, sf):
     )
 
 
+# as-of attribution: every purchase joined to the LATEST view at-or-before
+# it per user (inclusive; (user, us) view ties pre-resolved to max event_id
+# in both engines — asof tie order is undefined everywhere). DuckDB's
+# native ASOF LEFT JOIN is the oracle for functions/asof.asof_join's
+# union + carry-forward window (one shuffle, no range explosion).
+_ASOF_O = """
+WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+           WHERE event_type = 'purchase'),
+v AS (SELECT user_id, epoch_us(ts) AS us, MAX(event_id) AS vid FROM events
+      WHERE event_type = 'view' GROUP BY 1, 2)
+SELECT p.event_id, p.us, v.us AS vus, v.vid
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.us >= v.us
+"""
+
 _FUNNEL_RETENTION_O = f"""
 SELECT 'funnel' AS analysis, CAST(user_id AS VARCHAR) AS "key",
        t1 AS a, t2 AS b, t3 AS c FROM ({_FUNNEL_O})
@@ -812,6 +826,9 @@ UNION ALL
 SELECT 'retention' AS analysis, cohort_week AS "key",
        CAST(week_offset AS BIGINT) AS a, n_users AS b, CAST(NULL AS BIGINT) AS c
 FROM ({_RETENTION_O})
+UNION ALL
+SELECT 'asof' AS analysis, CAST(event_id AS VARCHAR) AS "key",
+       us AS a, vus AS b, vid AS c FROM ({_ASOF_O})
 """
 
 
@@ -832,7 +849,34 @@ def events_funnel_retention(spark, sf):
         F.col("n_users").alias("b"),
         F.lit(None).cast("long").alias("c"),
     )
-    return fun.unionAll(ret)
+    return fun.unionAll(ret).unionAll(events_asof_attribution(spark, sf))
+
+
+def events_asof_attribution(spark, sf) -> DataFrame:
+    """Purchase→view as-of attribution (functions/asof.asof_join): each
+    purchase gets the latest view at-or-before it for the same user — the
+    point-in-time lookup shape (config pushes, model-version flips,
+    impression→conversion attribution). One shuffle on user_id, carry-
+    forward window, zero row multiplication; DuckDB's native ASOF LEFT
+    JOIN verifies it exactly."""
+    from nginx_log_spark.functions import asof_join
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_type",
+    )
+    p = ev.filter(F.col("event_type") == "purchase").drop("event_type")
+    v = ev.filter(F.col("event_type") == "view").drop("event_type")
+    joined = asof_join(p, v, on=["user_id"], left_ts="us", value_cols=["event_id"])
+    return joined.select(
+        F.lit("asof").alias("analysis"),
+        F.col("event_id").cast("string").alias("key"),
+        F.col("us").alias("a"),
+        F.col("_ts_asof").alias("b"),
+        F.col("event_id_asof").alias("c"),
+    )
 
 
 _TOPK_PER_USER = """

@@ -1,3 +1,7 @@
+from nginx_log_spark.functions.asof import (  # noqa: F401
+    asof_join,
+    asof_join_bucketed,
+)
 from nginx_log_spark.functions.dedup import (  # noqa: F401
     dedup_keep,
     dedup_keep_components,
