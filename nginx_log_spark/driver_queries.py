@@ -60,6 +60,13 @@ from nginx_log_spark.route import (
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+def _duck_cosine(vec_a: str, vec_b: str) -> str:
+    dot = f"list_sum([{vec_a}[i]::DOUBLE * {vec_b}[i]::DOUBLE for i in range(1, len({vec_a}) + 1)])"
+    na = f"sqrt(list_sum([{vec_a}[i]::DOUBLE * {vec_a}[i]::DOUBLE for i in range(1, len({vec_a}) + 1)]))"
+    nb = f"sqrt(list_sum([{vec_b}[i]::DOUBLE * {vec_b}[i]::DOUBLE for i in range(1, len({vec_b}) + 1)]))"
+    return f"({dot}) / (({na}) * ({nb}))"
+
+
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
 
@@ -1379,12 +1386,44 @@ WHERE NOT EXISTS (SELECT 1 FROM comp c
                   WHERE c.node = d.doc_id AND c.component <> d.doc_id)
 """
 
+# SemDeDup branch: replay the 8-seed-centroid assignment (same rule as
+# _IVF_ORACLE: max rounded cosine, centroid-id tiebreak), intra-cell pairs
+# at the fixture's dense threshold, greedy min-id keep. Runs over the
+# embeddings table — doc_id := vec_id, source := label.
+_SEMDEDUP_O = """
+WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+           ORDER BY vec_id LIMIT 8),
+sims AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         round(__COS_EC__, 6) AS s
+  FROM embeddings e CROSS JOIN c
+),
+asg AS (
+  SELECT vec_id, embedding, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+  FROM sims
+),
+m AS (SELECT vec_id, embedding, cid FROM asg WHERE rn = 1),
+spairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE round(__COS_AB__, 6) >= 0.4
+)
+SELECT e.vec_id AS doc_id, CAST(e.label AS VARCHAR) AS source
+FROM embeddings e
+WHERE NOT EXISTS (SELECT 1 FROM spairs p WHERE p.id_b = e.vec_id)
+""".replace("__COS_EC__", _duck_cosine("e.embedding", "c.cvec")).replace(
+    "__COS_AB__", _duck_cosine("a.embedding", "b.embedding")
+)
+
 _DEDUP_RETAIN_O = f"""
 SELECT 'ngram_verified' AS method, doc_id, source FROM ({_DEDUP_KEEP_ORACLE})
 UNION ALL
 SELECT 'lsh_chain' AS method, doc_id, source FROM ({_LSH_DEDUP_O})
 UNION ALL
 SELECT 'cc' AS method, doc_id, source FROM ({_CC_KEEP_O})
+UNION ALL
+SELECT 'semdedup' AS method, doc_id, source FROM ({_SEMDEDUP_O})
 """
 
 
@@ -1409,7 +1448,16 @@ def docs_dedup_retain(spark, sf):
     cc = dedup_keep_components(docs, cc_pairs).select(
         F.lit("cc").alias("method"), "doc_id", "source"
     )
-    return ng.unionAll(lsh).unionAll(cc)
+    # SemDeDup over the embeddings table (doc_id := vec_id, source := label)
+    from nginx_log_spark.functions import seed_centroids, semantic_dedup
+
+    embs = _embs(spark, sf)
+    sd = semantic_dedup(embs, seed_centroids(embs, n_centroids=8), threshold=0.4).select(
+        F.lit("semdedup").alias("method"),
+        F.col("vec_id").alias("doc_id"),
+        F.col("label").cast("string").alias("source"),
+    )
+    return ng.unionAll(lsh).unionAll(cc).unionAll(sd)
 
 
 _SIMHASH64_ORACLE = rf"""
@@ -1470,13 +1518,6 @@ def docs_simhash_neardup(spark, sf):
     DuckDB's brute-force all-pairs xor/popcount (the banding must lose
     nothing at max_hamming < n_bands)."""
     return simhash_neardup_pairs(_docs(spark, sf), max_hamming=3, n_bands=4)
-
-
-def _duck_cosine(vec_a: str, vec_b: str) -> str:
-    dot = f"list_sum([{vec_a}[i]::DOUBLE * {vec_b}[i]::DOUBLE for i in range(1, len({vec_a}) + 1)])"
-    na = f"sqrt(list_sum([{vec_a}[i]::DOUBLE * {vec_a}[i]::DOUBLE for i in range(1, len({vec_a}) + 1)]))"
-    nb = f"sqrt(list_sum([{vec_b}[i]::DOUBLE * {vec_b}[i]::DOUBLE for i in range(1, len({vec_b}) + 1)]))"
-    return f"({dot}) / (({na}) * ({nb}))"
 
 
 _COSINE_ORACLE = f"""

@@ -29,6 +29,7 @@ from nginx_log_spark.functions.similarity import (  # noqa: F401
     lsh_ann_topk_prebucketed,
     multiprobe_buckets,
     seed_centroids,
+    semantic_dedup,
     write_bucketed_embeddings,
     write_ivf_index,
 )

@@ -441,3 +441,46 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public): drop
+    semantically redundant rows by (1) coarse k-means cells (ivf_assign —
+    a pure scan-speed projection against the broadcast-literal quantizer),
+    (2) cosine pairs >= threshold WITHIN each cell only (the self-join is
+    per-cell, never global — at 10^12 vectors the cell count scales with
+    the corpus so per-cell volume stays bounded; same layout the IVF index
+    already materializes), (3) greedy min-id retention (the paper keeps the
+    vector farthest from the centroid; min-id is the cross-engine-
+    deterministic choice, same rule as dedup_keep).
+
+    Returns the kept rows of `df` (all original columns). Reference scope
+    note: the reference has no similarity ops at all (SURVEY.md §2.7); this
+    is LLM-pipeline surface.
+    """
+    assigned = ivf_assign(df, centroids, vec_col, id_col).select(
+        F.col(id_col), F.col(vec_col), F.col("cell")
+    )
+    a = assigned.select(
+        F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"), "cell"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"), "cell"
+    )
+    sim = F.round(
+        cosine_sim(F.col("_va").cast("array<double>"), F.col("_vb").cast("array<double>")), 6
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(sim >= threshold)
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+    )
+    return df.join(dropped, id_col, "left_anti")

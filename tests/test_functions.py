@@ -476,6 +476,29 @@ def test_seed_centroids_sparse_ids_and_empty(spark, embs):
         seed_centroids(empty, n_centroids=8)
 
 
+def test_semantic_dedup_drops_intra_cell_dups_only(spark):
+    """SemDeDup: near-identical vectors landing in the same k-means cell are
+    deduped (min-id kept); dissimilar vectors in the same cell survive."""
+    from nginx_log_spark.functions import semantic_dedup
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [1, 2, 3, 4, 5],
+            "embedding": [
+                [1.0, 0.0],
+                [0.999, 0.01],  # dup of 1, same cell
+                [0.0, 1.0],
+                [0.01, 0.999],  # dup of 3, same cell
+                [0.7, 0.7],  # same cell as one of them, but cosine ~0.707
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    kept = semantic_dedup(df, cents, threshold=0.99).toPandas()
+    assert sorted(kept.vec_id) == [1, 3, 5]
+
+
 def test_neardup_bucketed_plan_builds_without_job(spark):
     """exact=False with dims= must not run any job at plan-build time —
     previously a .first() inferred dims, an action inside an operator
