@@ -2462,6 +2462,41 @@ FROM (SELECT q.doc_id, d.source,
       FROM ({_QUALITY_ORACLE}) q JOIN documents d USING (doc_id)) t
 WHERE rn <= 5"""
 
+# DSIR branch: target domain = src0 exemplars, pool = everything else.
+# Replays the Spark path's exact integer discipline: per-word log-ratios
+# fixed-pointed to e6 BIGINTs over the top-65536 pool vocab, OOV at the
+# floor-ratio constant, Gumbel noise from the (seed, key) hash with the
+# bin-center shift, top-k by (score desc, id asc).
+_DSIR_O = r"""
+WITH dn AS (SELECT doc_id, source, source = 'src0' AS t,
+              regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nrm
+            FROM documents),
+dw AS (SELECT doc_id, t, u AS word
+       FROM dn, unnest(string_split(nrm, ' ')) AS s(u) WHERE length(u) > 0),
+dtc AS (SELECT word, COUNT(*) AS cnt_t FROM dw WHERE t GROUP BY 1),
+dsc AS (SELECT word, COUNT(*) AS cnt_s FROM dw WHERE NOT t GROUP BY 1),
+dtt AS (SELECT CAST(SUM(cnt_t) AS BIGINT) AS tot_t FROM dtc),
+dst AS (SELECT CAST(SUM(cnt_s) AS BIGINT) AS tot_s FROM dsc),
+dv AS (SELECT word, CAST(round((ln(COALESCE(cnt_t, 1) / tot_t)
+                               - ln(cnt_s / tot_s)) * 1e6) AS BIGINT) AS llr_e6
+       FROM (SELECT word, cnt_s FROM dsc ORDER BY cnt_s DESC, word LIMIT 65536) cap
+       LEFT JOIN dtc USING (word) CROSS JOIN dtt CROSS JOIN dst),
+dov AS (SELECT CAST(round((ln(1.0 / tot_t) - ln(1.0 / tot_s)) * 1e6) AS BIGINT)
+               AS oov_e6 FROM dtt CROSS JOIN dst),
+dllr AS (SELECT dw.doc_id,
+           CAST(SUM(COALESCE(dv.llr_e6, dov.oov_e6)) AS BIGINT) AS sum_llr_e6
+         FROM dw LEFT JOIN dv USING (word) CROSS JOIN dov
+         WHERE NOT dw.t GROUP BY dw.doc_id),
+dsel AS (SELECT d.doc_id, d.source,
+           COALESCE(l.sum_llr_e6, 0)
+           + CAST(round(-ln(-ln(
+               ((('0x' || substr(md5('dsir' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 + 0.5) / 4294967296.0))) * 1e6) AS BIGINT) AS score
+         FROM documents d LEFT JOIN dllr l USING (doc_id)
+         WHERE d.source <> 'src0')
+SELECT doc_id, source FROM dsel ORDER BY score DESC, doc_id LIMIT 100
+"""
+
 _SAMPLING_O = f"""
 SELECT 'bernoulli' AS variant, doc_id, source AS label FROM ({_SAMPLE_HASH_O})
 UNION ALL
@@ -2472,6 +2507,8 @@ UNION ALL
 {_QW_O}
 UNION ALL
 {_QUOTA_O}
+UNION ALL
+SELECT 'dsir' AS variant, doc_id, source AS label FROM ({_DSIR_O})
 """
 
 
@@ -2485,8 +2522,15 @@ def docs_sampling(spark, sf):
     any cluster size or engine. Plus the per-source quota cap (keep the
     best k=5 per source by quality, ties id-asc): the domain-cap curation
     op, two-phase-ranked so no task ever sorts a hot source's full row
-    set."""
-    from nginx_log_spark.functions import score_weighted_sample, source_quota_cap
+    set. Round 3 adds DSIR importance resampling (Xie 2023): the 100 docs
+    whose word distribution best matches the src0 target domain, selected
+    by deterministic Gumbel-top-k over exact-integer log importance
+    weights."""
+    from nginx_log_spark.functions import (
+        dsir_select,
+        score_weighted_sample,
+        source_quota_cap,
+    )
 
     bern = docs_sample_hash(spark, sf).select(
         F.lit("bernoulli").alias("variant"), "doc_id",
@@ -2513,7 +2557,15 @@ def docs_sampling(spark, sf):
         F.lit("source_quota").alias("variant"), "doc_id",
         F.col("source").alias("label"),
     )
-    return bern.unionAll(strat).unionAll(split).unionAll(qw).unionAll(quota)
+    dsir = dsir_select(
+        _docs(spark, sf), F.col("source") == "src0", k=100, seed="dsir"
+    ).select(
+        F.lit("dsir").alias("variant"), "doc_id", F.col("source").alias("label")
+    )
+    return (
+        bern.unionAll(strat).unionAll(split).unionAll(qw).unionAll(quota)
+        .unionAll(dsir)
+    )
 
 
 @_register(

@@ -42,6 +42,7 @@ from nginx_log_spark.functions.packing import (  # noqa: F401
     pack_offsets,
 )
 from nginx_log_spark.functions.sampling import (  # noqa: F401
+    dsir_select,
     hash_sample,
     hash_uniform,
     mixture_resample,

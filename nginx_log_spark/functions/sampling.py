@@ -166,3 +166,105 @@ def source_quota_cap(
         .filter(F.col("quota_rank") <= k)
         .drop("_q_score", "_q_bkt")
     )
+
+
+def dsir_select(
+    df: DataFrame,
+    target: Column,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_v: int = 65536,
+    seed: str = "dsir",
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169, public): pick the ``k`` pool rows whose word
+    distribution most resembles a small target domain. ``target`` is a
+    boolean Column marking the in-domain exemplar rows; everything else is
+    the raw pool being selected from. Per pool doc the log importance
+    weight is
+
+        log w(x) = sum over words of  ln p_target(w) - ln p_pool(w)
+
+    and selection is Gumbel-top-k over log w (the paper's sampling-
+    without-replacement trick), with the Gumbel noise derived from the
+    repo's deterministic (seed, key) hash so the selected set is a pure
+    function of the data — identical on any cluster size or engine.
+
+    Determinism discipline (the repo's integer-sum FP rule): each vocab
+    word's log-ratio is fixed-pointed ONCE to a BIGINT (round(llr*1e6));
+    per-doc totals are exact integer sums; the Gumbel perturbation is one
+    more e6 BIGINT. Ties on the final score break id-asc.
+
+    Scale shape at 100 TB: both unigram models are explode + map-side-
+    combined groupBys (output <= |vocab|); the scoring join is a broadcast
+    of the top_v-capped ratio table (everything outside the cap scores at
+    the floor ratio ln(tot_pool/tot_target) — a constant); the per-doc agg
+    has uniform keys; the final top-k is TakeOrderedAndProject. The target
+    side is small by definition (it's a domain SAMPLE), so nothing here
+    shuffles the pool beyond one doc-keyed agg.
+    """
+    nrm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    words = df.select(
+        F.col(id_col), target.alias("_t"), F.explode(F.split(nrm, " ")).alias("word")
+    ).filter(F.length("word") > 0)
+
+    tc = words.filter(F.col("_t")).groupBy("word").agg(F.count(F.lit(1)).alias("cnt_t"))
+    sc = words.filter(~F.col("_t")).groupBy("word").agg(F.count(F.lit(1)).alias("cnt_s"))
+    tt = tc.agg(F.sum("cnt_t").alias("tot_t"))
+    st = sc.agg(F.sum("cnt_s").alias("tot_s"))
+
+    vocab = (
+        sc.orderBy(F.desc("cnt_s"), F.asc("word"))
+        .limit(top_v)
+        .join(tc, "word", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(st))
+        .select(
+            "word",
+            F.round(
+                (
+                    F.log(F.coalesce("cnt_t", F.lit(1)) / F.col("tot_t"))
+                    - F.log(F.col("cnt_s") / F.col("tot_s"))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("llr_e6"),
+        )
+    )
+    oov = (
+        tt.crossJoin(st)
+        .select(
+            F.round(
+                (F.log(F.lit(1.0) / F.col("tot_t")) - F.log(F.lit(1.0) / F.col("tot_s")))
+                * 1e6
+            )
+            .cast("long")
+            .alias("oov_e6")
+        )
+    )
+    doc_llr = (
+        words.filter(~F.col("_t"))
+        .join(F.broadcast(vocab), "word", "left")
+        .crossJoin(F.broadcast(oov))
+        .groupBy(id_col)
+        .agg(F.sum(F.coalesce("llr_e6", "oov_e6")).alias("sum_llr_e6"))
+    )
+    # Gumbel noise from the hash uniform, shifted to the bin center so
+    # u is in (0, 1) and -ln(-ln(u)) is always finite.
+    h8 = F.substring(
+        F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 8
+    )
+    u = (F.conv(h8, 16, 10).cast("long") + F.lit(0.5)) / F.lit(_TWO32)
+    g_e6 = F.round(-F.log(-F.log(u)) * 1e6).cast("long")
+    pool = df.filter(~target)
+    scored = (
+        pool.join(doc_llr, id_col, "left")
+        .withColumn(
+            "dsir_score_e6",
+            F.coalesce("sum_llr_e6", F.lit(0)).cast("long") + g_e6,
+        )
+        .drop("sum_llr_e6")
+    )
+    return scored.orderBy(F.desc("dsir_score_e6"), F.asc(id_col)).limit(k)

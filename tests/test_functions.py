@@ -645,6 +645,31 @@ def test_connected_components_long_chain_raises_past_bound(spark):
         neardup_components(chain, max_rounds=1)
 
 
+def test_dsir_selects_target_like_docs(spark):
+    """DSIR: pool docs sharing the target domain's distinctive vocabulary
+    must outrank pool docs that don't — at these weight magnitudes the
+    Gumbel noise never flips the ordering. Target rows never appear in
+    the output."""
+    from nginx_log_spark.functions import dsir_select
+
+    rows = []
+    # 5 target exemplars: heavy on 'genome protein enzyme'
+    for i in range(5):
+        rows.append((i, "tgt", "genome protein enzyme " * 10))
+    # 10 in-domain pool docs, 30 off-domain pool docs
+    for i in range(10, 20):
+        rows.append((i, "pool", "genome protein enzyme cell " * 8))
+    for i in range(20, 50):
+        rows.append((i, "pool", f"football score goal match{i} " * 8))
+    df = spark.createDataFrame(rows, "doc_id long, grp string, text string")
+    out = dsir_select(df, F.col("grp") == "tgt", k=10, seed="t").toPandas()
+    assert sorted(out.doc_id) == list(range(10, 20))
+    assert (out.grp == "pool").all()
+    # deterministic
+    again = dsir_select(df, F.col("grp") == "tgt", k=10, seed="t").toPandas()
+    assert sorted(again.doc_id) == sorted(out.doc_id)
+
+
 def test_score_weighted_sample_rates(spark):
     """P(keep) tracks the score: score 1.0 keeps everything, score 0 keeps
     nothing, and a 0.5-score population lands near half (deterministic,
