@@ -2203,6 +2203,21 @@ SELECT lb AS len_bucket, batch_idx,
             AS BIGINT) AS pad6
 FROM br GROUP BY lb, batch_idx"""
 
+# RAG-style overlapping windows (window 128, stride 96) over the same
+# token arrays; tokens are the line's latin-1 bytes, so the oracle
+# recomputes each window's exact token sum from the characters.
+_PACK_W, _PACK_S = 128, 96
+_PACK_R = f"""{_CTE},
+ro AS (SELECT doc_id, line FROM logs WHERE length(line) >= 1),
+rs AS (SELECT doc_id, line, unnest(range(0, length(line), {_PACK_S})) AS s
+       FROM ro)
+SELECT doc_id, s // {_PACK_S} AS chunk_idx, CAST(s AS BIGINT) AS start,
+       CAST(least({_PACK_W}, length(line) - s) AS BIGINT) AS chunk_len,
+       CAST(list_sum([ascii(substr(line, s + 1 + j, 1))
+            for j in range(0, least({_PACK_W}, length(line) - s))]) AS BIGINT)
+         AS token_sum
+FROM rs"""
+
 _PACKING_O = f"""
 SELECT 'offsets' AS kind, doc_id AS "key", n_tok AS a, "offset" AS b,
        chunk_first AS c, chunk_last AS d FROM ({_PACK_O})
@@ -2213,6 +2228,11 @@ UNION ALL
 SELECT 'batches' AS kind,
        CAST(len_bucket AS VARCHAR) || ':' || CAST(batch_idx AS VARCHAR) AS "key",
        n_seqs AS a, max_len AS b, sum_len AS c, pad6 AS d FROM ({_PACK_B})
+UNION ALL
+SELECT 'rag_windows' AS kind,
+       doc_id || ':' || CAST(chunk_idx AS VARCHAR) AS "key",
+       start AS a, chunk_len AS b, token_sum AS c, CAST(-1 AS BIGINT) AS d
+FROM ({_PACK_R})
 """
 
 
@@ -2223,8 +2243,14 @@ def seq_packing(spark, sf):
     chunks verified through per-chunk (length, doc-span, exact token sum)
     against a character-level SQL recomputation, AND length-bucketed
     dynamic batching with per-batch padding accounting (the padding-
-    efficiency alternative to concat-and-chunk)."""
-    from nginx_log_spark.functions import batch_stats, length_bucket_batches
+    efficiency alternative to concat-and-chunk). Round 3 adds the
+    RAG-style overlapping windows (window 128, stride 96): per-doc, no
+    cross-doc state, pure projection + explode — zero shuffle."""
+    from nginx_log_spark.functions import (
+        batch_stats,
+        chunk_windows,
+        length_bucket_batches,
+    )
 
     offs = seq_pack_offsets(spark, sf).select(
         F.lit("offsets").alias("kind"), F.col("doc_id").alias("key"),
@@ -2250,7 +2276,17 @@ def seq_packing(spark, sf):
         F.col("sum_len").alias("c"),
         F.round(F.col("padding_frac") * 1e6, 0).cast("long").alias("d"),
     )
-    return offs.unionAll(ch).unionAll(bt)
+    rag = chunk_windows(
+        _log_seq_with_id(spark, sf), window=_PACK_W, stride=_PACK_S
+    ).select(
+        F.lit("rag_windows").alias("kind"),
+        F.concat(
+            F.col("doc_id"), F.lit(":"), F.col("chunk_idx").cast("string")
+        ).alias("key"),
+        F.col("start").alias("a"), F.col("chunk_len").alias("b"),
+        F.col("token_sum").alias("c"), F.lit(-1).cast("long").alias("d"),
+    )
+    return offs.unionAll(ch).unionAll(bt).unionAll(rag)
 
 
 _VOCAB_O = f"""{_CTE}

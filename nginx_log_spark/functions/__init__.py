@@ -36,6 +36,7 @@ from nginx_log_spark.functions.similarity import (  # noqa: F401
 from nginx_log_spark.functions.packing import (  # noqa: F401
     batch_stats,
     chunk_stats,
+    chunk_windows,
     deterministic_shuffle,
     length_bucket_batches,
     pack_chunks,

@@ -281,3 +281,47 @@ def deterministic_shuffle(
     return ranked.withColumnRenamed("offset", "shuffle_rank").drop(
         "_one", "chunk_first", "chunk_last"
     )
+
+
+def chunk_windows(
+    df: DataFrame,
+    window: int = 128,
+    stride: int = 96,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping chunk windows per document — the retrieval/RAG indexing
+    transform (and the BERT-style sliding-window pretraining split): each
+    doc's token array becomes windows of ``window`` tokens starting every
+    ``stride`` tokens (stride < window => overlap of window - stride), the
+    last window truncated at the doc boundary. No cross-doc state at all,
+    so unlike concat-and-chunk packing (pack_offsets/pack_chunks) this
+    needs NO prefix sum and NO shuffle: it is a pure JVM projection +
+    explode — scan speed at any scale, and the output partitioning is the
+    input's.
+
+    Emits (id, chunk_idx, start, chunk_len, token_sum): token_sum is the
+    exact integer sum of the window's tokens, the cheap integrity
+    fingerprint a downstream embedder batch can re-verify after transport.
+    Empty docs emit no windows (there is nothing to retrieve).
+    """
+    if not (0 < stride <= window):
+        raise ValueError(f"need 0 < stride <= window, got {stride} > {window}")
+    n = F.size(F.col(tokens_col))
+    starts = F.expr(f"sequence(0, size({tokens_col}) - 1, {stride})")
+    out = (
+        df.filter(n >= 1)
+        .select(F.col(id_col), F.col(tokens_col), F.explode(starts).alias("start"))
+        .select(
+            id_col,
+            (F.col("start") / stride).cast("long").alias("chunk_idx"),
+            F.col("start").cast("long"),
+            F.least(F.lit(window), n - F.col("start")).cast("long").alias("chunk_len"),
+            F.expr(
+                f"aggregate(slice({tokens_col}, start + 1, "
+                f"least({window}, size({tokens_col}) - start)), "
+                "0L, (acc, x) -> acc + x)"
+            ).alias("token_sum"),
+        )
+    )
+    return out

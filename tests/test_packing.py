@@ -221,3 +221,30 @@ def test_length_bucket_batches_matches_flat_window(spark):
     )
     exp_pad = (1 - st.sum_len / (st.n_seqs * st.max_len)).round(6)
     assert (st.padding_frac - exp_pad).abs().max() < 1e-9
+
+
+def test_chunk_windows_cover_and_sum(spark, seq_df):
+    """Overlapping windows: exact per-window slices vs a local loop —
+    starts every stride, truncated tail, exact token sums, empty docs
+    emit nothing."""
+    from nginx_log_spark.functions import chunk_windows
+
+    W, S = 16, 12
+    rows = {r["id"]: r["tokens"] for r in seq_df.collect()}
+    out = chunk_windows(seq_df, window=W, stride=S, id_col="id").collect()
+    got = {(r.id, r.chunk_idx): (r.start, r.chunk_len, r.token_sum) for r in out}
+    want = {}
+    for i, toks in rows.items():
+        for ci, s in enumerate(range(0, len(toks), S)):
+            sl = toks[s : s + W]
+            want[(i, ci)] = (s, len(sl), sum(sl))
+    assert got == want
+    # every token position of every non-empty doc is covered by >= 1 window
+    for i, toks in rows.items():
+        covered = set()
+        for (di, _), (s, ln, _) in got.items():
+            if di == i:
+                covered.update(range(s, s + ln))
+        assert covered == set(range(len(toks)))
+    with pytest.raises(ValueError, match="stride"):
+        chunk_windows(seq_df, window=8, stride=9, id_col="id")
