@@ -1416,6 +1416,21 @@ WHERE NOT EXISTS (SELECT 1 FROM spairs p WHERE p.id_b = e.vec_id)
     "__COS_AB__", _duck_cosine("a.embedding", "b.embedding")
 )
 
+# Incremental branch: historical corpus = doc_id % 5 != 0 (its digest
+# index is the ONLY corpus state read), new batch = doc_id % 5 == 0;
+# keep = first-in-batch per digest AND digest unseen historically.
+_INCR_O = r"""
+WITH nd AS (SELECT doc_id, source,
+              md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS digest
+            FROM documents),
+hist AS (SELECT DISTINCT digest FROM nd WHERE doc_id % 5 != 0),
+batch AS (SELECT * FROM nd WHERE doc_id % 5 = 0),
+keep AS (SELECT digest, MIN(doc_id) AS keep_id FROM batch GROUP BY 1)
+SELECT b.doc_id, b.source
+FROM batch b JOIN keep k ON b.digest = k.digest AND b.doc_id = k.keep_id
+WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.digest = b.digest)
+"""
+
 _DEDUP_RETAIN_O = f"""
 SELECT 'ngram_verified' AS method, doc_id, source FROM ({_DEDUP_KEEP_ORACLE})
 UNION ALL
@@ -1424,6 +1439,8 @@ UNION ALL
 SELECT 'cc' AS method, doc_id, source FROM ({_CC_KEEP_O})
 UNION ALL
 SELECT 'semdedup' AS method, doc_id, source FROM ({_SEMDEDUP_O})
+UNION ALL
+SELECT 'incremental' AS method, doc_id, source FROM ({_INCR_O})
 """
 
 
@@ -1457,7 +1474,19 @@ def docs_dedup_retain(spark, sf):
         F.col("vec_id").alias("doc_id"),
         F.col("label").cast("string").alias("source"),
     )
-    return ng.unionAll(lsh).unionAll(cc).unionAll(sd)
+    # Incremental ingest: batch (id % 5 == 0) deduped against the
+    # historical corpus's digest index only — never the corpus itself.
+    from nginx_log_spark.functions import incremental_dedup
+
+    hist_digests = docs.filter(F.col("doc_id") % 5 != 0).select(
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        ).alias("digest")
+    )
+    incr = incremental_dedup(
+        docs.filter(F.col("doc_id") % 5 == 0), hist_digests
+    ).select(F.lit("incremental").alias("method"), "doc_id", "source")
+    return ng.unionAll(lsh).unionAll(cc).unionAll(sd).unionAll(incr)
 
 
 _SIMHASH64_ORACLE = rf"""

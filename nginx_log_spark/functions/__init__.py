@@ -6,6 +6,7 @@ from nginx_log_spark.functions.dedup import (  # noqa: F401
     dedup_keep,
     dedup_keep_components,
     exact_dedup,
+    incremental_dedup,
     lsh_candidate_pairs,
     minhash_signatures,
     neardup_components,

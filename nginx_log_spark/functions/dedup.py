@@ -563,3 +563,36 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    seen_digests: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup a NEW ingest batch against an already-deduped corpus WITHOUT
+    rescanning the corpus — the only exact-dedup shape that works at
+    10^12 rows with daily ingest. ``seen_digests`` is the corpus's digest
+    index (column ``digest``, one md5 per retained doc: 16 bytes/doc, the
+    only corpus-derived state this op ever reads). Two steps, both
+    batch-sized: (1) intra-batch min-id keep per digest (same rule as
+    exact_dedup, so re-running a batch is idempotent), (2) one left-anti
+    join against the index. Returns the kept rows of ``new_df`` with
+    their ``digest`` column — exactly what gets appended to the index, so
+    the index stays the running union of retained digests.
+
+    Scale shape: the batch is orders of magnitude smaller than the index,
+    and the index lives digest-BUCKETED on disk (route/bucketed.py /
+    Iceberg bucket transform) — the anti-join then shuffles ONLY the
+    batch's digests into the index's clustering; the 10^12-row corpus
+    itself is never touched (plan-asserted in tests/test_plans.py).
+    """
+    dig = new_df.withColumn("digest", F.md5(_norm(F.col(text_col))))
+    keep = (
+        dig.groupBy("digest").agg(F.min(id_col).alias(id_col))
+        .join(dig, ["digest", id_col])
+    )
+    return keep.join(
+        seen_digests.select("digest").distinct(), "digest", "left_anti"
+    )

@@ -85,3 +85,41 @@ def test_one_file_per_bucket(spark, bucketed_tables):
 
     files = glob.glob(loc.replace("file:", "") + "/part-*")
     assert len(files) == 8
+
+
+def test_incremental_dedup_index_side_never_shuffles(spark, sf_dir):
+    """The incremental-ingest contract: the corpus digest index is
+    digest-BUCKETED, so deduping a new batch against it shuffles ONLY the
+    batch — the index side of the anti-join has no Exchange. Values match
+    the plain (unbucketed) run."""
+    from nginx_log_spark.functions import incremental_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hist = docs.filter(F.col("doc_id") % 5 != 0).select(
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        ).alias("digest")
+    )
+    write_bucketed(hist.distinct(), "t_digest_idx", "digest", n_buckets=8)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        kept = incremental_dedup(batch, spark.table("t_digest_idx"))
+        p = plan(kept)
+        assert "SortMergeJoin" in p and "LeftAnti" in p
+        # the index scan's detail block confirms the bucketing is used ...
+        idx_detail = p.split("Scan parquet spark_catalog.default.t_digest_idx")[-1]
+        assert "Bucketed: true" in idx_detail.split("\n\n")[0]
+        # ... and the index branch of the tree (scan up to its Sort) has no
+        # Exchange: only the batch side shuffles
+        tree = p.split("\n\n")[0].splitlines()
+        (scan_i,) = [i for i, ln in enumerate(tree) if "t_digest_idx" in ln]
+        idx_branch = tree[scan_i - 4 : scan_i + 1]  # Sort/HashAgg*2/Filter/Scan
+        assert any("Sort" in ln for ln in idx_branch)
+        assert not any("Exchange" in ln for ln in idx_branch)
+        plain = incremental_dedup(batch, hist).toPandas()
+        assert sorted(kept.toPandas().doc_id) == sorted(plain.doc_id)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_digest_idx")
