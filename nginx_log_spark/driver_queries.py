@@ -2674,24 +2674,62 @@ def docs_repetition(spark, sf):
     return repetition_stats(_docs(spark, sf))
 
 
-_SPAN_DEDUP_O = r"""
-WITH n AS (SELECT doc_id,
-             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nrm
-           FROM documents),
-sp AS (SELECT doc_id, trim(u) AS span
-       FROM n, unnest(string_split_regex(nrm, '\.\s+')) AS t(u)
-       WHERE length(trim(u)) >= 20),
-c AS (SELECT md5(span) AS h, COUNT(*) AS cnt FROM sp GROUP BY 1),
-pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
-         CAST(SUM(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
-       FROM sp JOIN c ON md5(sp.span) = c.h GROUP BY doc_id)
-SELECT d.doc_id,
+# Two span definitions graded side by side: sentence mode ('\. ' split,
+# min 20 chars — exact on this fixture but vacuous: the synthetic docs
+# carry no sentence punctuation, so every doc is one unique span) and
+# word-window mode (non-overlapping 8-word blocks — 153 cross-doc
+# duplicated spans at sf0.01, so the keep-first removal rule is exercised
+# for real). The body is one parameterized template.
+_SPAN_MODE_O = r"""
+SELECT '__MODE__' AS mode, d.doc_id,
   CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
   CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup_spans,
   round(CASE WHEN COALESCE(n_spans, 0) > 0
-        THEN COALESCE(n_dup, 0) / n_spans ELSE 0.0 END, 6) AS dup_span_frac
-FROM documents d LEFT JOIN pd USING (doc_id)
+        THEN COALESCE(n_dup, 0) / n_spans ELSE 0.0 END, 6) AS dup_span_frac,
+  CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept_spans,
+  CAST(COALESCE(n_spans, 0) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed_spans,
+  COALESCE(cfp, md5('')) AS cleaned_fp
+FROM documents d
+LEFT JOIN (
+  WITH n AS (SELECT doc_id,
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nrm
+             FROM documents),
+  sp0 AS (SELECT doc_id, __SPANS__ AS lst FROM n),
+  sp AS (SELECT doc_id, i - 1 AS idx, lst[i] AS span, md5(lst[i]) AS h
+         FROM sp0, unnest(range(1, len(lst) + 1)) AS t(i)),
+  c AS (SELECT h, COUNT(*) AS cnt FROM sp GROUP BY 1),
+  pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         FROM sp JOIN c USING (h) GROUP BY doc_id),
+  fo AS (SELECT doc_id, idx, span, cnt,
+           row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn
+         FROM sp JOIN c USING (h)),
+  cl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           md5(string_agg(span, '__JOIN__' ORDER BY idx)) AS cfp
+         FROM fo WHERE cnt = 1 OR rn = 1 GROUP BY doc_id)
+  SELECT pd.doc_id, n_spans, n_dup, n_kept, cfp
+  FROM pd LEFT JOIN cl USING (doc_id)
+) s ON d.doc_id = s.doc_id
 """
+
+_SPAN_SENT = (
+    r"[trim(u) FOR u IN string_split_regex(nrm, '\.\s+')"
+    r" IF length(trim(u)) >= 20]"
+)
+_SPAN_W8 = (
+    "list_transform(range(1, len(string_split(nrm, ' ')) + 1, 8), "
+    "i -> array_to_string(string_split(nrm, ' ')[i:i+7], ' '))"
+)
+
+_SPAN_DEDUP_O = (
+    _SPAN_MODE_O.replace("__MODE__", "sentence")
+    .replace("__SPANS__", _SPAN_SENT)
+    .replace("__JOIN__", ". ")
+    + "\nUNION ALL\n"
+    + _SPAN_MODE_O.replace("__MODE__", "word8")
+    .replace("__SPANS__", _SPAN_W8)
+    .replace("__JOIN__", " ")
+)
 
 
 @_register("docs_span_dedup", _SPAN_DEDUP_O)
@@ -2699,10 +2737,25 @@ def docs_span_dedup(spark, sf):
     """Cross-document span duplication (C4-style boilerplate signal): split
     each doc into normalized sentence spans, count occurrences corpus-wide
     on the span digest (uniform md5 keys, map-side combined), report per
-    doc the fraction of its spans appearing elsewhere."""
-    from nginx_log_spark.functions import paragraph_dup_stats
+    doc the fraction of its spans appearing elsewhere. Round 3 adds the
+    REMOVAL transform (C4 §2.2's keep-one-occurrence rule): per doc, the
+    surviving span count and the md5 fingerprint of the rebuilt text, so
+    the whole rewrite is value-checked, not just counted. Graded in two
+    span modes: sentence (exact but vacuous on this punctuation-free
+    fixture) and 8-word windows (153 cross-doc duplicated spans at
+    sf0.01, so removal is exercised for real)."""
+    from nginx_log_spark.functions import paragraph_dup_stats, remove_duplicate_spans
 
-    return paragraph_dup_stats(_docs(spark, sf))
+    docs = _docs(spark, sf)
+
+    def one_mode(tag: str, ww: int | None) -> DataFrame:
+        return (
+            paragraph_dup_stats(docs, word_window=ww)
+            .join(remove_duplicate_spans(docs, word_window=ww), "doc_id")
+            .select(F.lit(tag).alias("mode"), "*")
+        )
+
+    return one_mode("sentence", None).unionAll(one_mode("word8", 8))
 
 
 _PROFILE_O = f"""

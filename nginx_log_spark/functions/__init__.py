@@ -74,6 +74,7 @@ from nginx_log_spark.functions.textstats import (  # noqa: F401
     doc_fingerprint,
     lang_id_col,
     paragraph_dup_stats,
+    remove_duplicate_spans,
     pii_columns,
     quality_columns,
     quality_route,

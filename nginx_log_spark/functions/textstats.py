@@ -156,15 +156,53 @@ def quality_route(
 # ---------------------------------------------------------------------------
 
 
+def _span_instances(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    sep: str,
+    min_chars: int,
+    word_window: int | None,
+) -> DataFrame:
+    """(id, _idx, _span, _h) — one row per span instance, position-indexed.
+
+    Two span definitions share all downstream machinery: sentence mode
+    (split on ``sep``, trim, drop spans under ``min_chars``) and word-
+    window mode (non-overlapping blocks of ``word_window`` whitespace
+    words — the fixed-width variant for corpora without sentence
+    punctuation; ``min_chars`` is not applied there, the tiling IS the
+    span rule). The word array is PROJECTED once before the per-window
+    transform — the slice lambda reuses it, so work stays O(len), never
+    O(len^2) regex (the repo's with_shingles discipline).
+    """
+    nrm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    if word_window is not None:
+        pre = df.select(F.col(id_col), F.split(nrm, " ").alias("_ws"))
+        spans = F.expr(
+            f"transform(sequence(0, size(_ws) - 1, {int(word_window)}), "
+            f"i -> array_join(slice(_ws, i + 1, {int(word_window)}), ' '))"
+        )
+        ex = pre.select(F.col(id_col), F.posexplode(spans).alias("_idx", "_span"))
+    else:
+        spans = F.filter(
+            F.transform(F.split(nrm, sep), lambda s: F.trim(s)),
+            lambda s: F.length(s) >= min_chars,
+        )
+        ex = df.select(F.col(id_col), F.posexplode(spans).alias("_idx", "_span"))
+    return ex.withColumn("_h", F.md5("_span"))
+
+
 def paragraph_dup_stats(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     sep: str = r"\.\s+",
     min_chars: int = 20,
+    word_window: int | None = None,
 ) -> DataFrame:
     """Corpus-level span duplication per doc: split each doc into
-    normalized spans (sentences/paragraphs by ``sep``), count every span's
+    normalized spans (sentences/paragraphs by ``sep``, or fixed
+    ``word_window``-word blocks — see _span_instances), count every span's
     occurrences ACROSS the corpus, and report per doc how many of its
     spans appear elsewhere — the C4-style signal for boilerplate shared
     between documents (exact n-gram repetition within one doc is
@@ -176,14 +214,7 @@ def paragraph_dup_stats(
     groups on md5(span) — uniform 128-bit keys, map-side combined — and
     the join back keys on the same digest. No self-join, no skewed keys.
     """
-    nrm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    spans = F.filter(
-        F.transform(F.split(nrm, sep), lambda s: F.trim(s)),
-        lambda s: F.length(s) >= min_chars,
-    )
-    ex = df.select(F.col(id_col), F.explode(spans).alias("_span")).withColumn(
-        "_h", F.md5("_span")
-    )
+    ex = _span_instances(df, text_col, id_col, sep, min_chars, word_window)
     counts = ex.groupBy("_h").agg(F.count(F.lit(1)).alias("_n"))
     per_doc = (
         ex.join(counts, "_h")
@@ -209,6 +240,72 @@ def paragraph_dup_stats(
         ).alias("dup_span_frac"),
     )
     return out
+
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = r"\.\s+",
+    min_chars: int = 20,
+    word_window: int | None = None,
+) -> DataFrame:
+    """C4-style boilerplate REMOVAL (Raffel et al. 2020, the §2.2 "three-
+    sentence span" rule, public): rebuild each document keeping only one
+    corpus-wide occurrence of every duplicated span. paragraph_dup_stats
+    is the detector; this is the transform. A span instance survives when
+    its span is corpus-unique OR it is the canonical first occurrence
+    (min (doc_id, position) — deterministic, engine-independent).
+
+    Returns (id, n_kept_spans, n_removed_spans, cleaned_fp) where
+    cleaned_fp = md5 of the rebuilt normalized text (kept spans joined by
+    '. ' in original order) — the value a downstream writer would emit,
+    fingerprinted so the whole rebuild is oracle-checkable.
+
+    Scale shape: one posexplode (volume = text volume), one uniform
+    md5-keyed groupBy computing count AND canonical occurrence together,
+    one digest-keyed join back, one per-doc agg — the same shuffle budget
+    as the detector; no self-join, no skew. The collect_list is per-doc
+    (bounded by doc length), never per-key.
+    """
+    ex = _span_instances(df, text_col, id_col, sep, min_chars, word_window)
+    agg = ex.groupBy("_h").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("_idx").alias("i"))).alias("_first"),
+    )
+    kept = ex.join(agg, "_h").filter(
+        (F.col("_n") == 1)
+        | ((F.col("_first.d") == F.col(id_col)) & (F.col("_first.i") == F.col("_idx")))
+    )
+    per_doc = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept_spans"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_idx"), F.col("_span")))
+                    ),
+                    lambda s: s["_span"],
+                ),
+                " " if word_window is not None else ". ",
+            )
+        ).alias("cleaned_fp"),
+    )
+    totals = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_spans"))
+    base = df.select(F.col(id_col))
+    return (
+        base.join(totals, id_col, "left")
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_kept_spans", F.lit(0)).cast("long").alias("n_kept_spans"),
+            (
+                F.coalesce("_n_spans", F.lit(0)) - F.coalesce("n_kept_spans", F.lit(0))
+            ).cast("long").alias("n_removed_spans"),
+            F.coalesce("cleaned_fp", F.md5(F.lit(""))).alias("cleaned_fp"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

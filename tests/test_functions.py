@@ -715,6 +715,62 @@ def test_paragraph_dup_stats_planted_boilerplate(spark):
     assert got[4] == (0, 0, 0.0)
 
 
+def test_remove_duplicate_spans_keeps_first_occurrence(spark):
+    """C4-style removal: the min-(doc_id, idx) instance of a duplicated
+    span survives, all later instances are cut, unique spans are
+    untouched, and cleaned_fp equals md5 of the locally rebuilt text."""
+    import hashlib
+
+    from nginx_log_spark.functions import remove_duplicate_spans
+
+    boiler = "subscribe to our newsletter for all the latest updates today"
+    rows = [
+        (1, f"{boiler}. a unique first sentence about owls and trees."),
+        (2, f"{boiler}. another entirely different body of running text."),
+        (3, f"some original lead-in sentence here. {boiler}."),
+        (4, "x."),  # no qualifying span
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_kept_spans, r.n_removed_spans, r.cleaned_fp)
+        for r in remove_duplicate_spans(df).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    # the final period never follows '. ' so it stays glued to the last
+    # span: doc 3's "{boiler}." is therefore a DIFFERENT span from docs
+    # 1/2's bare "{boiler}" — only the doc-1/doc-2 pair deduplicates, and
+    # doc 1 (min doc_id) holds the canonical occurrence
+    assert got[1] == (
+        2, 0, md5(f"{boiler}. a unique first sentence about owls and trees."),
+    )
+    assert got[2] == (1, 1, md5("another entirely different body of running text."))
+    assert got[3] == (2, 0, md5(f"some original lead-in sentence here. {boiler}."))
+    assert got[4] == (0, 0, md5(""))
+
+
+def test_remove_duplicate_spans_word_window_mode(spark):
+    """Word-window spans: docs tiled into fixed 3-word blocks; a block
+    shared across docs is kept only at its min-(doc, idx) site; the
+    rebuilt text is the kept blocks space-joined in order."""
+    import hashlib
+
+    from nginx_log_spark.functions import remove_duplicate_spans
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma other words here tail"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_kept_spans, r.n_removed_spans, r.cleaned_fp)
+        for r in remove_duplicate_spans(df, word_window=3).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert got[1] == (2, 0, md5("alpha beta gamma delta epsilon zeta"))
+    # doc 2's first block duplicates doc 1's; its tail blocks survive
+    assert got[2] == (2, 1, md5("other words here tail"))
+
+
 def test_redact_pii_patterns_and_counts(spark):
     """Each PII rule matches its target, counts come from the ORIGINAL
     text, redaction applies all rules in order, PII-free text is
