@@ -2574,6 +2574,14 @@ UNION ALL
 {_QUOTA_O}
 UNION ALL
 SELECT 'dsir' AS variant, doc_id, source AS label FROM ({_DSIR_O})
+UNION ALL
+SELECT 'top_frac' AS variant, doc_id, source AS label
+FROM (SELECT q.doc_id, d.source,
+        row_number() OVER (PARTITION BY d.source
+                           ORDER BY q.quality_score DESC, q.doc_id ASC) AS rn,
+        COUNT(*) OVER (PARTITION BY d.source) AS n
+      FROM ({_QUALITY_ORACLE}) q JOIN documents d USING (doc_id)) t
+WHERE rn <= CAST(ceil(n * 0.4) AS BIGINT)
 """
 
 
@@ -2595,6 +2603,7 @@ def docs_sampling(spark, sf):
         dsir_select,
         score_weighted_sample,
         source_quota_cap,
+        top_fraction_per_stratum,
     )
 
     bern = docs_sample_hash(spark, sf).select(
@@ -2627,9 +2636,15 @@ def docs_sampling(spark, sf):
     ).select(
         F.lit("dsir").alias("variant"), "doc_id", F.col("source").alias("label")
     )
+    topf = top_fraction_per_stratum(
+        _docs(spark, sf), qscore, frac=0.4, buckets=8
+    ).select(
+        F.lit("top_frac").alias("variant"), "doc_id",
+        F.col("source").alias("label"),
+    )
     return (
         bern.unionAll(strat).unionAll(split).unionAll(qw).unionAll(quota)
-        .unionAll(dsir)
+        .unionAll(dsir).unionAll(topf)
     )
 
 

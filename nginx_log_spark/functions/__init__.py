@@ -52,6 +52,7 @@ from nginx_log_spark.functions.sampling import (  # noqa: F401
     score_weighted_sample,
     source_quota_cap,
     stratified_sample,
+    top_fraction_per_stratum,
     train_val_split,
 )
 from nginx_log_spark.functions.approx import (  # noqa: F401

@@ -268,3 +268,58 @@ def dsir_select(
         .drop("sum_llr_e6")
     )
     return scored.orderBy(F.desc("dsir_score_e6"), F.asc(id_col)).limit(k)
+
+
+def top_fraction_per_stratum(
+    df: DataFrame,
+    score: Column,
+    frac: float,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    buckets: int = 64,
+) -> DataFrame:
+    """Adaptive quality gate: keep the best ``frac`` of EACH stratum by
+    (score desc, id asc) — the per-source analogue of a global quantile
+    filter, with the cutoff derived from the data (k_s = ceil(n_s * frac))
+    instead of a fixed score threshold, so a weak source cannot dodge the
+    gate and a strong source is not over-pruned. Deterministic: integer
+    rank logic only, no float quantile interpolation to diverge across
+    engines; ties break id-asc.
+
+    Scale shape: stratum sizes are one map-side-combined groupBy whose
+    output is O(|strata|) — broadcast back. The ranking reuses the
+    two-phase bucketed discipline (source_quota_cap): phase 1 ranks within
+    (stratum, id-hash bucket) — ``buckets``-way parallel — and keeps local
+    rank <= k_s (any true top-k_s row is in its bucket's top-k_s); phase 2
+    ranks the <= buckets*k_s survivors exactly. For frac close to 1 the
+    survivor bound approaches the stratum size, as it must — the gate's
+    cost scales with what it KEEPS. Returns kept rows + stratum_rank.
+    """
+    if not (0.0 < frac <= 1.0):
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    from pyspark.sql import Window
+
+    ks = (
+        df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(strata_col, F.ceil(F.col("_n") * float(frac)).alias("_k"))
+    )
+    sdf = (
+        df.withColumn("_g_score", score)
+        .join(F.broadcast(ks), strata_col)
+        .withColumn("_g_bkt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(buckets)))
+    )
+    w1 = Window.partitionBy(strata_col, "_g_bkt").orderBy(
+        F.desc("_g_score"), F.asc(id_col)
+    )
+    survivors = (
+        sdf.withColumn("_g_rn1", F.row_number().over(w1))
+        .filter(F.col("_g_rn1") <= F.col("_k"))
+        .drop("_g_rn1")
+    )
+    w2 = Window.partitionBy(strata_col).orderBy(F.desc("_g_score"), F.asc(id_col))
+    return (
+        survivors.withColumn("stratum_rank", F.row_number().over(w2))
+        .filter(F.col("stratum_rank") <= F.col("_k"))
+        .drop("_g_score", "_g_bkt", "_k")
+    )

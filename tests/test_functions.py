@@ -645,6 +645,37 @@ def test_connected_components_long_chain_raises_past_bound(spark):
         neardup_components(chain, max_rounds=1)
 
 
+def test_top_fraction_per_stratum_matches_naive(spark):
+    """The two-phase bucketed gate == a naive per-stratum window with
+    k = ceil(n * frac); frac=1.0 keeps everything; bad frac raises."""
+    import math
+
+    from nginx_log_spark.functions import top_fraction_per_stratum
+
+    rows = [(i, f"s{i % 3}", float((i * 37) % 101)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, sc double")
+    got = top_fraction_per_stratum(
+        df, F.col("sc"), 0.25, buckets=16
+    ).toPandas()
+    # naive reference
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "source", "sc"])
+    want = set()
+    for s, g in pdf.groupby("source"):
+        k = math.ceil(len(g) * 0.25)
+        want |= set(
+            g.sort_values(["sc", "doc_id"], ascending=[False, True])
+            .head(k)
+            .doc_id
+        )
+    assert set(got.doc_id) == want
+    assert got.stratum_rank.max() == math.ceil(100 * 0.25)
+    assert top_fraction_per_stratum(df, F.col("sc"), 1.0).count() == 300
+    with pytest.raises(ValueError, match="frac"):
+        top_fraction_per_stratum(df, F.col("sc"), 0.0)
+
+
 def test_dsir_selects_target_like_docs(spark):
     """DSIR: pool docs sharing the target domain's distinctive vocabulary
     must outrank pool docs that don't — at these weight magnitudes the
