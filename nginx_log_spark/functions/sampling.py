@@ -209,8 +209,14 @@ def dsir_select(
         F.col(id_col), target.alias("_t"), F.explode(F.split(nrm, " ")).alias("word")
     ).filter(F.length("word") > 0)
 
-    tc = words.filter(F.col("_t")).groupBy("word").agg(F.count(F.lit(1)).alias("cnt_t"))
-    sc = words.filter(~F.col("_t")).groupBy("word").agg(F.count(F.lit(1)).alias("cnt_s"))
+    # both unigram models in ONE pass over the exploded words (a corpus
+    # scan is the expensive thing here; the conditional agg halves it)
+    counts = words.groupBy("word").agg(
+        F.sum(F.col("_t").cast("long")).alias("cnt_t"),
+        F.sum((~F.col("_t")).cast("long")).alias("cnt_s"),
+    )
+    tc = counts.filter(F.col("cnt_t") > 0).select("word", "cnt_t")
+    sc = counts.filter(F.col("cnt_s") > 0).select("word", "cnt_s")
     tt = tc.agg(F.sum("cnt_t").alias("tot_t"))
     st = sc.agg(F.sum("cnt_s").alias("tot_s"))
 
