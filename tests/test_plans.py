@@ -201,3 +201,34 @@ def test_parse_json_lines_stays_in_codegen(spark, docs):
     assert "EvalPython" not in p
     assert "Exchange" not in p
     assert "ReadSchema: struct<text:string>" in p
+
+
+def test_dsir_plan_broadcasts_and_take_ordered(spark, docs):
+    """DSIR's scale contract: the word->log-ratio scoring join is a
+    BROADCAST of the capped vocab (the corpus-sized side never shuffles
+    for the join), and the final top-k is TakeOrderedAndProject, not a
+    global sort."""
+    from nginx_log_spark.functions import dsir_select
+
+    out = dsir_select(docs, F.col("source") == "src0", k=50)
+    p = plan(out)
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+    # no unbroadcast cartesian anywhere; the crossJoins against the 1-row
+    # totals/oov aggregates plan as broadcast nested loops, which is the
+    # intended (constant-size) shape
+    assert "CartesianProduct" not in p
+
+
+def test_top_fraction_gate_two_phase_window(spark, docs):
+    """top_fraction_per_stratum must rank within (stratum, bucket) before
+    the exact per-stratum window — two Window nodes, and the stratum-size
+    lookup is a broadcast join."""
+    from nginx_log_spark.functions import top_fraction_per_stratum
+
+    out = top_fraction_per_stratum(
+        docs, F.col("n_chars").cast("double"), 0.3, buckets=16
+    )
+    p = plan(out)
+    assert p.count("Window") >= 2
+    assert "BroadcastHashJoin" in p
