@@ -3,6 +3,7 @@ from nginx_log_spark.streaming.stream import (  # noqa: F401
     sessionize_fold,
     stream_dedup,
     stream_fan_out,
+    stream_incremental_dedup,
     stream_hourly_counts,
     stream_sessionize,
 )

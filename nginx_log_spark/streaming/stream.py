@@ -188,3 +188,62 @@ def stream_fan_out(seq_stream: DataFrame, out_base: str, checkpoint_dir: str):
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def stream_incremental_dedup(
+    doc_stream: DataFrame,
+    index_dir: str,
+    kept_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming exact dedup against an UNBOUNDED history — the shape
+    stream_dedup (dropDuplicatesWithinWatermark) cannot cover: its state
+    is bounded by the watermark horizon, so a duplicate arriving a month
+    later slips through. Here the history lives outside streaming state
+    entirely, as the on-disk digest index (functions/dedup.py::
+    incremental_dedup): every micro-batch is (1) deduped against the
+    index + itself, (2) appended to the kept sink, (3) its new digests
+    appended to the index. Per-batch cost is batch-sized; the index is
+    the same 16-bytes-per-retained-doc artifact the batch pipeline uses,
+    so batch ingest and streaming ingest share one dedup history.
+
+    Exactly-once effect: digests are appended WITH the epoch id; a
+    replayed micro-batch re-derives the same kept set because its own
+    epoch's digests are excluded from the index view it reads (self-joins
+    against a half-written epoch would otherwise drop everything on
+    retry). Kept rows are epoch-partitioned dynamic overwrite, same as
+    stream_fan_out.
+    """
+    from nginx_log_spark.functions import incremental_dedup
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            seen = spark.read.parquet(index_dir).filter(
+                F.col("epoch") != int(epoch_id)
+            )
+        except Exception:  # first batch: no index yet
+            seen = spark.createDataFrame([], "digest string, epoch long")
+        kept = incremental_dedup(batch_df, seen, text_col, id_col)
+        (
+            kept.withColumn("epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .partitionBy("epoch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(kept_dir)
+        )
+        (
+            kept.select("digest").withColumn("epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .partitionBy("epoch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(index_dir)
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

@@ -232,3 +232,58 @@ def test_stream_dedup_first_occurrence_wins(spark, tmp_path):
         .filter(F.col("valid")).select("doc_id").distinct().collect()
     }
     assert set(got.doc_id) == exp
+
+
+def test_stream_incremental_dedup_unbounded_history(spark, tmp_path):
+    """Duplicates arriving ARBITRARILY late (way past any watermark) are
+    dropped because the history is the on-disk digest index, not streaming
+    state: batch 2 replays half of batch 1's texts and adds new ones —
+    only the new ones survive; the index ends with one digest per unique
+    text; re-running the whole stream into the same sinks converges to
+    the same kept set (epoch-keyed overwrite, not append)."""
+    from nginx_log_spark.streaming import stream_incremental_dedup
+
+    src = str(tmp_path / "in_incr")
+    idx = str(tmp_path / "digest_idx")
+    kept_dir = str(tmp_path / "kept")
+
+    def docs(ids, texts):
+        return spark.createDataFrame(
+            list(zip(ids, texts)), "doc_id long, text string"
+        )
+
+    # batch 1: docs 0..19 unique texts; batch 2: 10 dups of batch 1 + 10 new
+    b1 = docs(range(20), [f"document body number {i}" for i in range(20)])
+    b2 = docs(
+        range(100, 120),
+        [f"document body number {i}" for i in range(10)]
+        + [f"fresh late content {i}" for i in range(10)],
+    )
+    # one file per batch + maxFilesPerTrigger=1 => two distinct epochs,
+    # so the batch-2 duplicates are provably dropped via the INDEX (not
+    # intra-batch dedup)
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_incremental_dedup(
+            stream, idx, kept_dir, str(tmp_path / ckpt)
+        ).start()
+        q.awaitTermination(300)
+
+    run("ckpt_incr")
+    kept = spark.read.parquet(kept_dir).toPandas()
+    # every batch-1 doc kept; batch-2 keeps only the 10 fresh texts
+    assert set(kept.doc_id) == set(range(20)) | set(range(110, 120))
+    index = spark.read.parquet(idx).toPandas()
+    assert len(index) == 30 and index.digest.nunique() == 30
+    # full replay into the same sinks converges (no dup rows, same set)
+    run("ckpt_incr_replay")
+    kept2 = spark.read.parquet(kept_dir).toPandas()
+    assert sorted(kept2.doc_id) == sorted(kept.doc_id)
+    assert len(spark.read.parquet(idx).toPandas()) == 30
