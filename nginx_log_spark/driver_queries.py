@@ -1446,12 +1446,14 @@ SELECT 'incremental' AS method, doc_id, source FROM ({_INCR_O})
 
 @_register("docs_dedup_retain", _DEDUP_RETAIN_O)
 def docs_dedup_retain(spark, sf):
-    """All three retention rules composited: greedy local-min keep over
+    """The retention-rule family composited: greedy local-min keep over
     exhaustively verified n-gram pairs, the production LSH chain (banded
-    candidates -> pairs-bounded verify -> anti-join retain), and
+    candidates -> pairs-bounded verify -> anti-join retain),
     connected-components retention (min-label propagation; exactly ONE
-    representative per duplicate cluster) over the same verified pairs —
-    the oracle replays the clustering with a recursive reachability CTE."""
+    representative per duplicate cluster; the oracle replays the
+    clustering with a recursive reachability CTE), SemDeDup semantic
+    near-dup removal (per-IVF-cell cosine pairs, Abbas 2023), and
+    incremental ingest dedup against the historical digest index."""
     from nginx_log_spark.functions import dedup_keep_components
 
     ng = docs_dedup_keep(spark, sf).select(
