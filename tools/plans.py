@@ -170,6 +170,69 @@ def main() -> None:
     spark.sql("DROP TABLE IF EXISTS plans_docs_meta")
     spark.sql("DROP TABLE IF EXISTS plans_docs_len")
 
+    from nginx_log_spark.functions import (
+        chunk_windows,
+        dsir_select,
+        incremental_dedup,
+        top_fraction_per_stratum,
+    )
+
+    hist = docs.filter(F.col("doc_id") % 5 != 0).select(
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        ).alias("digest")
+    )
+    write_bucketed(hist.distinct(), "plans_digest_idx", "digest", n_buckets=8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sections.append((
+        "incremental_dedup (ingest batch vs bucketed digest index)",
+        "The corpus digest index scan exposes its bucketing (Bucketed: "
+        "true) and feeds the LeftAnti SortMergeJoin with NO Exchange on "
+        "the index side — only the (much smaller) ingest batch shuffles "
+        "into the index's clustering. The 10^12-row corpus itself is "
+        "never read at all: 16 bytes/doc of digests is the only history.",
+        plan(
+            incremental_dedup(
+                docs.filter(F.col("doc_id") % 5 == 0),
+                spark.table("plans_digest_idx"),
+            )
+        ),
+    ))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_abt)
+    spark.sql("DROP TABLE IF EXISTS plans_digest_idx")
+
+    sections.append((
+        "dsir_select (importance resampling toward a target domain)",
+        "Both unigram models come from ONE conditional-agg pass over the "
+        "exploded words; the capped log-ratio table reaches the scoring "
+        "side as a BroadcastHashJoin; the 1-row totals/OOV scalars are "
+        "broadcast nested loops; the final Gumbel-top-k is "
+        "TakeOrderedAndProject. The pool never shuffles except the by-doc "
+        "integer-sum aggregation on uniform ids.",
+        plan(dsir_select(docs, F.col("source") == "src0", k=50)),
+    ))
+
+    sections.append((
+        "top_fraction_per_stratum (adaptive top-q% quality gate)",
+        "The stratum sizes are an O(|strata|) aggregate broadcast back "
+        "(BroadcastHashJoin); ranking is the repo's two-phase bucketed "
+        "window — (stratum, pmod(xxhash64(id))) first, exact stratum "
+        "window over survivors only.",
+        plan(
+            top_fraction_per_stratum(
+                docs, quality_columns(F.col("text"))["quality_score"], 0.4, buckets=8
+            )
+        ),
+    ))
+
+    sections.append((
+        "chunk_windows (RAG overlapping windows)",
+        "Pure Project + Generate (explode) — no Exchange anywhere, no "
+        "Python stage: chunking a 100 TB corpus is scan-speed and "
+        "preserves the input partitioning.",
+        plan(chunk_windows(seq, window=128, stride=96)),
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by tools/plans.py)\n"]
     out.append(
         "Each section: the claim the 100 TB design makes, then the actual\n"
