@@ -1551,20 +1551,74 @@ def docs_simhash_neardup(spark, sf):
     return simhash_neardup_pairs(_docs(spark, sf), max_hamming=3, n_bands=4)
 
 
+# hashed TF-IDF retrieval twin: sparse bag-of-words cosine over the
+# documents table (query = doc 0), replayed relationally in DuckDB with
+# the identical md5 bucket hash and scikit-learn's smoothed idf.
+_TFIDF_DIMS = 1024
+_TFIDF_O = rf"""
+WITH w0 AS (SELECT doc_id, u AS word
+            FROM (SELECT doc_id,
+                    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nrm
+                  FROM documents) n,
+                 unnest(string_split(nrm, ' ')) AS t(u)
+            WHERE length(u) > 0),
+tf AS (SELECT doc_id,
+         (('0x' || substr(md5(word), 1, 8))::BIGINT % {_TFIDF_DIMS}
+          + {_TFIDF_DIMS}) % {_TFIDF_DIMS} AS bucket,
+         COUNT(*) AS tf
+       FROM w0 GROUP BY 1, 2),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+idf AS (SELECT bucket, ln((n + 1) / (COUNT(*) + 1)) + 1 AS idf
+        FROM tf, nd GROUP BY bucket, n),
+w AS (SELECT doc_id, bucket, tf * idf AS w FROM tf JOIN idf USING (bucket)),
+norms AS (SELECT doc_id, sqrt(SUM(w * w)) AS norm FROM w GROUP BY 1),
+qw AS (SELECT bucket, w AS qw FROM w WHERE doc_id = 0),
+qn AS (SELECT norm AS qnorm FROM norms WHERE doc_id = 0),
+dots AS (SELECT w.doc_id, SUM(w.w * qw.qw) AS dot
+         FROM w JOIN qw USING (bucket) GROUP BY 1)
+SELECT d.doc_id AS vec_id, round(dot / (norm * qnorm), 6) AS cosine
+FROM dots d JOIN norms USING (doc_id) CROSS JOIN qn
+WHERE d.doc_id <> 0
+ORDER BY cosine DESC, d.doc_id LIMIT 10
+"""
+
 _COSINE_ORACLE = f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-SELECT vec_id, round({_duck_cosine('embedding', 'qv')}, 6) AS cosine
+SELECT 'pretrained' AS variant, vec_id,
+       round({_duck_cosine('embedding', 'qv')}, 6) AS cosine
 FROM embeddings, q
 ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
+_COSINE_COMPOSITE_O = f"""
+SELECT * FROM ({_COSINE_ORACLE})
+UNION ALL
+SELECT 'tfidf_hashed' AS variant, vec_id, cosine FROM ({_TFIDF_O})
+"""
 
-@_register("emb_cosine_topk", _COSINE_ORACLE)
+
+@_register("emb_cosine_topk", _COSINE_COMPOSITE_O)
 def emb_cosine_topk(spark, sf):
-    """Brute-force cosine top-k vs the vec_id=0 query vector."""
+    """Exact retrieval, both input modalities: brute-force cosine top-k
+    over the pretrained embedding column (vs the vec_id=0 query vector),
+    and hashed TF-IDF sparse cosine top-k straight off the TEXT column
+    (vs doc_id=0) — the featurize-then-retrieve path for corpora that
+    have no embeddings yet, kept fully relational (the dot product is a
+    broadcast join on the hash bucket, never a dense dims-wide array)."""
+    from nginx_log_spark.functions import tfidf_cosine_topk
+
     embs = _embs(spark, sf)
     q = embs.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return cosine_topk(embs, list(q), k=10)
+    pre = cosine_topk(embs, list(q), k=10).select(
+        F.lit("pretrained").alias("variant"), "vec_id", "cosine"
+    )
+    tfidf = tfidf_cosine_topk(
+        _docs(spark, sf), query_id=0, k=10, dims=_TFIDF_DIMS
+    ).select(
+        F.lit("tfidf_hashed").alias("variant"),
+        F.col("doc_id").alias("vec_id"), "cosine",
+    )
+    return pre.unionAll(tfidf)
 
 
 # threshold 0.4: the synthetic fixture's densest pairs sit at cosine

@@ -20,17 +20,19 @@ from nginx_log_spark.functions.dedup import (  # noqa: F401
 )
 from nginx_log_spark.functions.similarity import (  # noqa: F401
     cosine_topk,
+    embedding_neardup_pairs,
+    hashed_tf,
     ivf_ann_topk,
     ivf_ann_topk_indexed,
     ivf_assign,
     ivf_kmeans_refine,
-    embedding_neardup_pairs,
     lsh_ann_topk,
     lsh_ann_topk_multiprobe,
     lsh_ann_topk_prebucketed,
     multiprobe_buckets,
     seed_centroids,
     semantic_dedup,
+    tfidf_cosine_topk,
     write_bucketed_embeddings,
     write_ivf_index,
 )

@@ -484,3 +484,94 @@ def semantic_dedup(
         .distinct()
     )
     return df.join(dropped, id_col, "left_anti")
+
+
+def hashed_tf(
+    df: DataFrame,
+    dims: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashing-trick sparse term frequencies (Weinberger et al. 2009,
+    public): every normalized word maps to one of ``dims`` buckets through
+    the repo's portable md5 hash (same expression in the DuckDB oracle),
+    so the feature space is fixed-width with NO vocabulary state — the
+    property that makes text featurization embarrassingly parallel at
+    10^12 docs. Returns the sparse representation (id, bucket, tf): the
+    relational form, which downstream joins/aggregations keep sparse
+    instead of materializing dims-wide dense arrays per row.
+
+    Scale shape: one explode (volume = text volume) + one map-side-
+    combined groupBy on uniform (id, bucket) keys. No join, no skew.
+    """
+    nrm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    words = df.select(
+        F.col(id_col), F.explode(F.split(nrm, " ")).alias("_w")
+    ).filter(F.length("_w") > 0)
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("_w"), 1, 8), 16, 10).cast("long"), F.lit(dims)
+    )
+    return words.select(id_col, bucket.alias("bucket")).groupBy(
+        id_col, "bucket"
+    ).agg(F.count(F.lit(1)).alias("tf"))
+
+
+def tfidf_cosine_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    dims: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Classic sparse TF-IDF cosine retrieval straight off the text column
+    — the text-side twin of cosine_topk (which needs a pretrained embedding
+    column): find the ``k`` docs most similar to ``query_id`` under hashed
+    bag-of-words with smoothed idf = ln((N+1)/(df+1)) + 1 (scikit-learn's
+    convention, public). Everything stays RELATIONAL — the dot product is
+    a join on the bucket key, never a dims-wide dense array per row.
+
+    Returns (id, cosine) with cosine rounded to 6dp, (cosine desc, id asc)
+    ordered, query excluded.
+
+    Scale shape at 100 TB: tf is one explode+groupBy (uniform keys); df
+    and idf aggregate to <= dims rows; the query vector is <= dims rows —
+    BOTH broadcast. The corpus-side weight table shuffles once for the
+    by-doc norm and once joins the broadcast query on bucket; the top-k is
+    TakeOrderedAndProject. Nothing ever pairs docs against docs.
+    """
+    tf = hashed_tf(df, dims, text_col, id_col)
+    n_docs = df.select(F.count(F.lit(1)).alias("n"))
+    dfreq = tf.groupBy("bucket").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "bucket",
+        (F.log((F.col("n") + 1) / (F.col("df") + 1)) + 1).alias("idf"),
+    )
+    w = tf.join(F.broadcast(idf), "bucket").select(
+        id_col, "bucket", (F.col("tf") * F.col("idf")).alias("w")
+    )
+    norms = w.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
+    )
+    qw = w.filter(F.col(id_col) == query_id).select(
+        F.col("bucket"), F.col("w").alias("qw")
+    )
+    qnorm = norms.filter(F.col(id_col) == query_id).select(
+        F.col("norm").alias("qnorm")
+    )
+    dots = (
+        w.join(F.broadcast(qw), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("w") * F.col("qw")).alias("dot"))
+    )
+    return (
+        dots.join(norms, id_col)
+        .crossJoin(F.broadcast(qnorm))
+        .filter(F.col(id_col) != query_id)
+        .select(
+            id_col,
+            F.round(F.col("dot") / (F.col("norm") * F.col("qnorm")), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

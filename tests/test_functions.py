@@ -476,6 +476,46 @@ def test_seed_centroids_sparse_ids_and_empty(spark, embs):
         seed_centroids(empty, n_centroids=8)
 
 
+def test_tfidf_cosine_topk_ranks_overlap(spark):
+    """Sparse hashed TF-IDF retrieval: a doc sharing most words with the
+    query ranks above one sharing few; disjoint docs don't appear (no
+    shared bucket => no dot product row); the query itself is excluded;
+    scores match a local sklearn-convention recomputation."""
+    import math
+    from collections import Counter
+
+    from nginx_log_spark.functions import tfidf_cosine_topk
+
+    rows = [
+        (0, "apple banana cherry date egg fig"),
+        (1, "apple banana cherry date egg grape"),  # 5/6 overlap
+        (2, "apple banana melon kiwi lime peach"),  # 2/6 overlap
+        (3, "stone iron copper zinc lead tin"),  # disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = tfidf_cosine_topk(df, query_id=0, k=10, dims=64).toPandas()
+    # high-overlap beats low-overlap; the query never returns itself.
+    # (the disjoint doc MAY appear with a tiny score via bucket
+    # collisions — inherent to the hashing trick and modeled identically
+    # by the local recomputation below)
+    assert list(got.doc_id)[:2] == [1, 2]
+    assert 0 not in set(got.doc_id)
+    # local recomputation (collisions included — same hash both sides)
+    def bucket(w):
+        import hashlib as h
+
+        return int(h.md5(w.encode()).hexdigest()[:8], 16) % 64
+
+    tfs = {i: Counter(bucket(w) for w in t.split()) for i, t in rows}
+    dfreq = Counter(b for tf in tfs.values() for b in tf)
+    idf = {b: math.log((4 + 1) / (dfreq[b] + 1)) + 1 for b in dfreq}
+    w = {i: {b: c * idf[b] for b, c in tf.items()} for i, tf in tfs.items()}
+    nrm = {i: math.sqrt(sum(x * x for x in wi.values())) for i, wi in w.items()}
+    for r in got.itertuples():
+        dot = sum(w[0][b] * w[r.doc_id].get(b, 0.0) for b in w[0])
+        assert abs(r.cosine - dot / (nrm[0] * nrm[r.doc_id])) < 1e-6
+
+
 def test_semantic_dedup_drops_intra_cell_dups_only(spark):
     """SemDeDup: near-identical vectors landing in the same k-means cell are
     deduped (min-id kept); dissimilar vectors in the same cell survive."""
