@@ -2499,31 +2499,67 @@ def docs_sample_hash(spark, sf):
     )
 
 
-_MIX_O = (
+_MIX_EQ_O = (
     """
 WITH t AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS tot
            FROM documents GROUP BY source),
 m AS (SELECT MIN(tot) AS mn FROM t),
 r AS (SELECT source, mn / tot AS rate FROM t, m)
-SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+SELECT d.doc_id, d.source AS label FROM documents d JOIN r USING (source)
 WHERE """
     + _u_sql("CAST(d.doc_id AS VARCHAR)", "mix")
     + " < rate"
 )
 
+# temperature branch over the UNEQUAL lang strata (218/75/73/70/64 at
+# sf0.01): r_s = (n_s / n_min)^(alpha - 1), alpha = 0.5 — the XLM-R
+# flattening recipe, largest rate exactly 1 at the smallest stratum.
+_MIX_TEMP_O = (
+    """
+WITH t AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+m AS (SELECT MIN(n) AS mn FROM t),
+r AS (SELECT lang, least(pow(n / mn, -0.5), 1.0) AS rate FROM t, m)
+SELECT d.doc_id, d.lang AS label FROM documents d JOIN r USING (lang)
+WHERE """
+    + _u_sql("CAST(d.doc_id AS VARCHAR)", "temp")
+    + " < rate"
+)
+
+_MIX_O = f"""
+SELECT 'equalize' AS variant, doc_id, label FROM ({_MIX_EQ_O})
+UNION ALL
+SELECT 'temperature' AS variant, doc_id, label FROM ({_MIX_TEMP_O})
+"""
+
 
 @_register("docs_mixture_resample", _MIX_O)
 def docs_mixture_resample(spark, sf):
-    """Closed-loop mixture equalization: every source downsampled to the
-    char volume of the smallest source; rates are exact integer-sum ratios
-    and membership is the deterministic (key, seed) hash — identical
-    sample on any cluster size or engine."""
-    from nginx_log_spark.functions import mixture_resample
+    """Closed-loop mixture control, both standard recipes: EQUALIZE (every
+    source downsampled to the char volume of the smallest source) and
+    TEMPERATURE flattening (per-lang keep rate (n_s/n_min)^(alpha-1),
+    alpha=0.5 — Conneau et al. 2020's multilingual sampling). Rates are
+    derived from the data by fixed expressions over integer sums and
+    membership is the deterministic (key, seed) hash — identical sample on
+    any cluster size or engine; the fact table never shuffles."""
+    from nginx_log_spark.functions import mixture_resample, temperature_resample
 
-    return mixture_resample(
+    eq = mixture_resample(
         _docs(spark, sf), strata_col="source", weight_col="n_chars",
         key_col="doc_id", seed="mix",
-    ).select("doc_id", "source")
+    ).select(
+        F.lit("equalize").alias("variant"), "doc_id",
+        F.col("source").alias("label"),
+    )
+    docs_l = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    temp = temperature_resample(
+        docs_l, alpha=0.5, strata_col="lang", key_col="doc_id", seed="temp"
+    ).select(
+        F.lit("temperature").alias("variant"), "doc_id",
+        F.col("lang").alias("label"),
+    )
+    return eq.unionAll(temp)
 
 
 _STRAT_RATES = {f"src{k}": ((k * 7) % 10) / 10.0 for k in range(20)}

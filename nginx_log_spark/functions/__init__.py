@@ -54,6 +54,7 @@ from nginx_log_spark.functions.sampling import (  # noqa: F401
     score_weighted_sample,
     source_quota_cap,
     stratified_sample,
+    temperature_resample,
     top_fraction_per_stratum,
     train_val_split,
 )

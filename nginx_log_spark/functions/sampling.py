@@ -329,3 +329,46 @@ def top_fraction_per_stratum(
         .filter(F.col("stratum_rank") <= F.col("_k"))
         .drop("_g_score", "_g_bkt", "_k")
     )
+
+
+def temperature_resample(
+    df: DataFrame,
+    alpha: float = 0.7,
+    strata_col: str = "source",
+    key_col: Column | str = "doc_id",
+    seed: str = "temp",
+) -> DataFrame:
+    """Temperature-based mixture resampling (the multilingual-LM recipe —
+    XLM-R / mBERT, Conneau et al. 2020, public): target stratum share
+    q_s = p_s^alpha / sum_t p_t^alpha where p_s is the observed share.
+    alpha < 1 flattens the mixture (upweights small strata), alpha = 1 is
+    the identity, alpha -> 0 approaches uniform. Implemented as a pure
+    DOWNSAMPLE: keep rate r_s = C * q_s / p_s with C chosen so the largest
+    rate is exactly 1 (no stratum needs upsampling — the scale-safe choice,
+    since duplicating rows to upsample is a separate, explicit decision).
+
+    Same determinism contract as mixture_resample: rates derive from
+    integer counts via a fixed expression, membership is the (key, seed)
+    hash — identical sample on any cluster size or engine. Plan shape:
+    one O(|strata|) aggregate, broadcast rates, scan-speed filter; the
+    fact table never shuffles.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    tot = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    # r_s ∝ q_s / p_s ∝ p_s^(alpha-1) ∝ n_s^(alpha-1); normalize so the
+    # largest rate is exactly 1: for alpha < 1 that's the SMALLEST stratum
+    # (flattening upweights it), for alpha > 1 the largest (sharpening).
+    ref = tot.agg(
+        (
+            F.min("_n") if alpha <= 1.0 else F.max("_n")
+        ).alias("_ref")
+    )
+    rates = tot.crossJoin(F.broadcast(ref)).select(
+        strata_col,
+        F.least(
+            F.pow(F.col("_n") / F.col("_ref"), F.lit(float(alpha)) - 1), F.lit(1.0)
+        ).alias("_rate"),
+    )
+    joined = df.join(F.broadcast(rates), strata_col)
+    return joined.where(hash_uniform(key_col, seed) < F.col("_rate")).drop("_rate")

@@ -685,6 +685,29 @@ def test_connected_components_long_chain_raises_past_bound(spark):
         neardup_components(chain, max_rounds=1)
 
 
+def test_temperature_resample_flattens_mixture(spark):
+    """alpha=1 keeps everything (identity); alpha=0 equalizes expected
+    stratum volumes to ~n_min; alpha in between lands in between; the
+    smallest stratum is never downsampled; alpha<0 raises."""
+    from nginx_log_spark.functions import temperature_resample
+
+    rows = [(i, "big" if i < 1600 else "small") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    def kept_by(alpha):
+        out = temperature_resample(df, alpha=alpha, key_col="doc_id").toPandas()
+        g = out.groupby("source").size()
+        return g.get("big", 0), g.get("small", 0)
+
+    assert kept_by(1.0) == (1600, 400)
+    b0, s0 = kept_by(0.0)  # expected big ~= 400 (rate 400/1600)
+    assert s0 == 400 and 300 < b0 < 500
+    b5, s5 = kept_by(0.5)  # rate = (1600/400)^-0.5 = 0.5 -> ~800
+    assert s5 == 400 and 700 < b5 < 900
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_resample(df, alpha=-0.1, key_col="doc_id")
+
+
 def test_top_fraction_per_stratum_matches_naive(spark):
     """The two-phase bucketed gate == a naive per-stratum window with
     k = ceil(n * frac); frac=1.0 keeps everything; bad frac raises."""
