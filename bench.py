@@ -191,6 +191,17 @@ def _group_queries(spark, group: str) -> dict[str, float]:
             chunk_stats(pack_chunks(offs, 4096)).count()
 
         queries["seq_pack_2m"] = _min_of(q_pack, "seq_pack_2m")
+
+        def q_chunk_windows():
+            # RAG overlapping windows over the same 2M token arrays:
+            # projection + explode only — the zero-shuffle scan-speed bound
+            from nginx_log_spark.functions import chunk_windows
+
+            chunk_windows(seq, window=128, stride=96).count()
+
+        queries["seq_chunk_windows_2m"] = _min_of(
+            q_chunk_windows, "seq_chunk_windows_2m", 2
+        )
     elif group == "ops":
         from nginx_log_spark import driver_queries as Q
 
@@ -211,8 +222,30 @@ def _group_queries(spark, group: str) -> dict[str, float]:
         queries["docs_minhash_lsh_xxh"] = _timed(
             lambda: q_minhash("xxhash64"), "docs_minhash_lsh_xxh"
         )
-        queries["emb_cosine_topk"] = _timed(
-            lambda: Q.emb_cosine_topk(spark, SF_DIR).collect(), "emb_cosine_topk"
+        # emb_cosine_topk became a two-variant composite in round 3
+        # (pretrained dense + hashed TF-IDF sparse retrieval); fresh ledger
+        # key so min-over-sessions never mixes the old single-variant runs
+        queries["emb_cosine_tfidf_composite"] = _timed(
+            lambda: Q.emb_cosine_topk(spark, SF_DIR).collect(),
+            "emb_cosine_tfidf_composite",
+        )
+
+        def q_dsir():
+            from nginx_log_spark.functions import dsir_select
+
+            docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            dsir_select(docs, F.col("source") == "src0", k=100).collect()
+
+        queries["docs_dsir_select"] = _timed(q_dsir, "docs_dsir_select")
+
+        def q_span_removal():
+            from nginx_log_spark.functions import remove_duplicate_spans
+
+            docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            remove_duplicate_spans(docs, word_window=8).count()
+
+        queries["docs_span_removal_w8"] = _timed(
+            q_span_removal, "docs_span_removal_w8"
         )
     return queries
 
@@ -356,7 +389,11 @@ def _merge_best(out: dict) -> None:
     improved = False
     if out.get("rows") == best.get("rows"):
         for k, v in out.get("queries", {}).items():
-            if k in best["queries"] and v < best["queries"][k]:
+            if k == "warmup_sec":
+                continue
+            # a key the ledger has never seen (a newly added benchmark)
+            # enters with its first measurement; known keys only improve
+            if k not in best["queries"] or v < best["queries"][k]:
                 best["queries"][k] = v
                 improved = True
     s = out.get("scaling") or {}
