@@ -2865,31 +2865,90 @@ def docs_span_dedup(spark, sf):
     return one_mode("sentence", None).unionAll(one_mode("word8", 8))
 
 
+# trained-classifier twin (functions/classifier.nb_fit/nb_score): multinomial
+# NB over hashed unigrams, label = source, every log-prob fixed-pointed to
+# BIGINT e6 so train + predict are exact integer arithmetic in both engines.
+_NB_DIMS = 1024
+_NB_O = rf"""
+WITH w AS (
+  SELECT doc_id, source, u.w FROM (
+    SELECT doc_id, source,
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+    FROM documents), unnest(ws) AS u(w)
+  WHERE length(u.w) > 0),
+wb AS (SELECT doc_id, source,
+         (('0x' || substr(md5(w), 1, 8))::BIGINT % {_NB_DIMS} + {_NB_DIMS}) % {_NB_DIMS} AS bucket
+       FROM w),
+cnt AS (SELECT source AS label, bucket, COUNT(*) AS c FROM wb GROUP BY 1, 2),
+ltot AS (SELECT label, SUM(c) AS t FROM cnt GROUP BY 1),
+grid AS (SELECT l.label, l.t, g.bucket
+         FROM ltot l, (SELECT unnest(range(0, {_NB_DIMS})) AS bucket) g),
+model AS (SELECT label, bucket,
+            CAST(round(ln((COALESCE(c, 0) + 1.0) / (t + {_NB_DIMS}.0)) * 1e6) AS BIGINT) AS llp_e6
+          FROM grid LEFT JOIN cnt USING (label, bucket)),
+nd AS (SELECT source AS label, COUNT(*) AS n FROM documents GROUP BY 1),
+pri AS (SELECT label, CAST(round(ln(n * 1.0 / (SELECT SUM(n) FROM nd)) * 1e6) AS BIGINT) AS prior_e6 FROM nd),
+ntf AS (SELECT doc_id, bucket, COUNT(*) AS tf FROM wb GROUP BY 1, 2),
+nsc AS (SELECT ntf.doc_id, m.label, SUM(tf * llp_e6) AS s_e6
+        FROM ntf JOIN model m USING (bucket) GROUP BY 1, 2),
+nsp AS (SELECT nsc.doc_id, nsc.label, s_e6 + prior_e6 AS score_e6
+        FROM nsc JOIN pri USING (label)),
+nrk AS (SELECT doc_id, label, score_e6,
+          row_number() OVER (PARTITION BY doc_id ORDER BY score_e6 DESC, label ASC) AS rn
+        FROM nsp),
+ntop AS (SELECT a.doc_id, a.label AS nb_pred, a.score_e6 AS nb_score_e6,
+           CAST(COALESCE(a.score_e6 - b.score_e6, 0) AS BIGINT) AS nb_margin_e6
+         FROM nrk a LEFT JOIN nrk b ON a.doc_id = b.doc_id AND b.rn = 2
+         WHERE a.rn = 1),
+nptop AS (SELECT label, prior_e6,
+            row_number() OVER (ORDER BY prior_e6 DESC, label ASC) AS rn FROM pri),
+npf AS (SELECT a.label AS p_pred, a.prior_e6 AS p_score,
+          CAST(COALESCE(a.prior_e6 - b.prior_e6, 0) AS BIGINT) AS p_margin
+        FROM nptop a LEFT JOIN nptop b ON b.rn = 2 WHERE a.rn = 1)
+SELECT d.doc_id,
+  COALESCE(t.nb_pred, p.p_pred) AS nb_pred,
+  CAST(COALESCE(t.nb_score_e6, p.p_score) AS BIGINT) AS nb_score_e6,
+  COALESCE(t.nb_margin_e6, p.p_margin) AS nb_margin_e6
+FROM documents d LEFT JOIN ntop t USING (doc_id) CROSS JOIN npf p
+"""
+
 _PROFILE_O = f"""
 SELECT t.doc_id, t.n_ws_tokens, t.n_bpe_tokens,
        q.n_chars, q.n_words, q.punct_ratio, q.stopword_ratio, q.quality_score,
-       l.lang_pred, f.fp, r.n_grams, r.n_distinct_grams, r.dup_gram_frac
+       l.lang_pred, f.fp, r.n_grams, r.n_distinct_grams, r.dup_gram_frac,
+       nb.nb_pred, nb.nb_score_e6, nb.nb_margin_e6
 FROM ({_TOKCOUNT_O}) t
 JOIN ({_QUALITY_ORACLE}) q USING (doc_id)
 JOIN ({_LANG_ORACLE}) l USING (doc_id)
 JOIN ({_FP_O}) f USING (doc_id)
 JOIN ({_REP_O}) r USING (doc_id)
+JOIN ({_NB_O}) nb USING (doc_id)
 """
 
 
 @_register("docs_text_profile", _PROFILE_O)
 def docs_text_profile(spark, sf):
-    """The full per-doc text-analysis surface in ONE scan-speed projection
-    (registry consolidation of token counts, quality features, language ID,
-    whole-doc fingerprint, and repetition stats): every signal is a JVM
-    expression over the text column — no join, no shuffle; the oracle joins
-    the five per-operator SQL twins on doc_id."""
-    from nginx_log_spark.functions import doc_fingerprint, repetition_stats
+    """The full per-doc text-analysis surface (registry consolidation of
+    token counts, quality features, language ID, whole-doc fingerprint, and
+    repetition stats — all JVM expressions in ONE scan-speed projection)
+    plus the TRAINED-model signal a GPT-3/LLaMA-style curation pipeline
+    adds on top of the heuristics: multinomial Naive Bayes source/domain
+    classification (functions/classifier.nb_fit + nb_score, hashed unigram
+    features, exact e6 fixed-point posteriors). The NB fit is one
+    token-volume groupBy whose output is the |labels| x dims broadcastable
+    model; scoring joins that broadcast model and re-aggregates on uniform
+    doc keys — the heuristic half of the query still never shuffles."""
+    from nginx_log_spark.functions import (
+        doc_fingerprint,
+        nb_fit,
+        nb_score,
+        repetition_stats,
+    )
 
     staged = repetition_stats(_docs(spark, sf), keep_cols=["text"])
     tc = token_count_cols(F.col("text"))
     q = quality_columns(F.col("text"))
-    return staged.select(
+    prof = staged.select(
         "doc_id",
         tc["n_ws_tokens"].alias("n_ws_tokens"),
         tc["n_bpe_tokens"].alias("n_bpe_tokens"),
@@ -2902,6 +2961,10 @@ def docs_text_profile(spark, sf):
         doc_fingerprint(F.col("text")).alias("fp"),
         "n_grams", "n_distinct_grams", "dup_gram_frac",
     )
+    docs = _docs(spark, sf)
+    model, priors = nb_fit(docs, label_col="source", dims=_NB_DIMS)
+    nb = nb_score(docs, model, priors, dims=_NB_DIMS)
+    return prof.join(nb, "doc_id")
 
 
 _DECON_O = r"""

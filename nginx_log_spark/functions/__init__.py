@@ -68,6 +68,11 @@ from nginx_log_spark.functions.tokenstats import (  # noqa: F401
     doc_entropy_histogram,
     token_entropy_e6,
 )
+from nginx_log_spark.functions.classifier import (  # noqa: F401
+    nb_fit,
+    nb_score,
+    portable_bucket,
+)
 from nginx_log_spark.functions.bpe import (  # noqa: F401
     apply_bpe,
     encode_word,
