@@ -132,7 +132,9 @@ def nb_score(
 
     Docs that tokenize to nothing still get a row: their score is the
     prior alone, computed from the same broadcast table — no driver
-    action, no special case in the aggregation.
+    action. Token-less is detected at scan speed (``trim(text) = ''`` is
+    exactly "the normalizer emits no words"), so completeness costs a
+    filtered scan + union, NOT a full doc-id join against the scored set.
     """
     tf = (
         _norm_words(df, text_col, id_col)
@@ -174,14 +176,15 @@ def nb_score(
             .otherwise(F.lit(0)).cast("long").alias("_p_margin_e6"),
         )
     )
-    return (
-        df.select(id_col)
-        .join(picked, id_col, "left")
+    empty = (
+        df.filter(F.length(F.trim(F.col(text_col))) == 0)
+        .select(id_col)
         .crossJoin(F.broadcast(pri2))
         .select(
             id_col,
-            F.coalesce("nb_pred", "_p_pred").alias("nb_pred"),
-            F.coalesce("nb_score_e6", "_p_score_e6").alias("nb_score_e6"),
-            F.coalesce("nb_margin_e6", "_p_margin_e6").alias("nb_margin_e6"),
+            F.col("_p_pred").alias("nb_pred"),
+            F.col("_p_score_e6").alias("nb_score_e6"),
+            F.col("_p_margin_e6").alias("nb_margin_e6"),
         )
     )
+    return picked.unionAll(empty)

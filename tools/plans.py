@@ -225,6 +225,22 @@ def main() -> None:
         ),
     ))
 
+    from nginx_log_spark.functions import nb_fit, nb_score
+
+    nb_model, nb_priors = nb_fit(docs, label_col="source", dims=256)
+    sections.append((
+        "nb_score (trained NB classifier apply)",
+        "The dense |labels| x dims model and the priors reach the per-doc "
+        "term frequencies as BroadcastHashJoins (the model is corpus-size-"
+        "independent by construction); token-less docs are detected by a "
+        "scan-speed filter and unioned in with a 1-row "
+        "BroadcastNestedLoopJoin of the prior argmax — completeness never "
+        "joins the full doc-id set. The fact table shuffles only for its "
+        "two uniform-doc-key HashAggregates — no window, no global sort, "
+        "no Python stage.",
+        plan(nb_score(docs, nb_model, nb_priors, dims=256)),
+    ))
+
     sections.append((
         "chunk_windows (RAG overlapping windows)",
         "Pure Project + Generate (explode) — no Exchange anywhere, no "
