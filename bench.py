@@ -247,6 +247,18 @@ def _group_queries(spark, group: str) -> dict[str, float]:
         queries["docs_span_removal_w8"] = _timed(
             q_span_removal, "docs_span_removal_w8"
         )
+
+        def q_nb():
+            # trained NB classifier, fit + score end-to-end (the learned
+            # curation filter): one token-volume groupBy builds the dense
+            # broadcast model, apply is broadcast join + doc-key aggs
+            from nginx_log_spark.functions import nb_fit, nb_score
+
+            docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            model, priors = nb_fit(docs, label_col="source", dims=1024)
+            nb_score(docs, model, priors, dims=1024).count()
+
+        queries["docs_nb_fit_score"] = _timed(q_nb, "docs_nb_fit_score")
     return queries
 
 
