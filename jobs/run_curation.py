@@ -9,6 +9,11 @@ a documents table (doc_id, text, lang, source, ...):
        runs, so re-ingesting yesterday's corpus is a no-op)
     2. curation gate: quality / language / repetition routing
        (functions/textstats.py::quality_route) — only 'keep' continues
+    2b. (optional, --classifier-ref) trained-filter stage, the GPT-3 §A
+       recipe: fit a hashed-NB classifier with the reference corpus as
+       positives and a deterministic hash-sample of the gated crawl as
+       negatives (functions/classifier.nb_fit), score everything, keep
+       docs the model calls reference-like (nb_score)
     3. near-dup removal: the LSH chain (banded candidates -> pairs-bounded
        verify -> min-id retain)
     4. decontamination against a held-out split (distinct-gram semi-join)
@@ -20,7 +25,7 @@ Submit:
     spark-submit --py-files dist/nginx_log_spark.zip jobs/run_curation.py \
         --input <documents parquet> --output <base path> \
         [--holdout <parquet of eval docs>] [--source-cap 100000] \
-        [--keep-frac 0.5]
+        [--keep-frac 0.5] [--classifier-ref <parquet of reference docs>]
 
 Resume: each stage writes ``<output>/<stage>/`` exactly once and is skipped
 when its ``_SUCCESS`` marker exists — a restarted job recomputes only the
@@ -56,6 +61,9 @@ def run_curation(
     decontam_k: int = 20,
     gate_kwargs: dict | None = None,
     index_dir: str | None = None,
+    classifier_ref=None,
+    classifier_neg_rate: float = 0.5,
+    classifier_dims: int = 1024,
 ):
     """Run the chain; returns the final curated DataFrame. Each stage
     persists to ``out_base/<stage>`` and is skipped when already complete,
@@ -134,6 +142,29 @@ def run_curation(
     s2 = _read(p2, gate_schema).filter(F.col("kept")).drop("reason", "kept")
     stages.append(("quality_gate", s2))
 
+    # -- 2b. trained filter (reference-vs-crawl NB classifier) -------------
+    # GPT-3 §A: positives = the high-quality reference corpus, negatives =
+    # a deterministic hash-sample of the crawl itself (so the negative set
+    # is reproducible on any cluster size); keep what the model scores as
+    # reference-like. The fitted model is |labels| x dims rows — it never
+    # grows with the corpus, so this stage is a broadcast join at 100 TB.
+    if classifier_ref is not None:
+        from nginx_log_spark.functions import hash_sample, nb_fit, nb_score
+
+        p2b = f"{out_base}/stage2b_classifier"
+        if not _done(p2b):
+            neg = hash_sample(s2, classifier_neg_rate, "doc_id", seed="nbneg")
+            labeled = classifier_ref.select(
+                F.col("text"), F.lit("ref").alias("_nb_label")
+            ).unionAll(neg.select("text", F.lit("crawl").alias("_nb_label")))
+            model, priors = nb_fit(labeled, label_col="_nb_label", dims=classifier_dims)
+            verdicts = nb_score(s2, model, priors, dims=classifier_dims)
+            s2.join(
+                verdicts.filter(F.col("nb_pred") == "ref").select("doc_id"), "doc_id"
+            ).write.mode("overwrite").parquet(p2b)
+        s2 = _read(p2b, base_schema)
+        stages.append(("trained_filter", s2))
+
     # -- 3. near-dup removal (LSH chain) -----------------------------------
     p3 = f"{out_base}/stage3_neardup"
     if not _done(p3):
@@ -201,6 +232,9 @@ def main() -> int:
     ap.add_argument("--keep-frac", type=float, default=0.5)
     ap.add_argument("--index-dir", default=None,
                     help="shared digest index (cross-run incremental dedup)")
+    ap.add_argument("--classifier-ref", default=None,
+                    help="parquet of reference (positive-class) docs; enables "
+                         "the trained NB filter stage")
     args = ap.parse_args()
 
     from nginx_log_spark.session import get_spark
@@ -208,10 +242,11 @@ def main() -> int:
     spark = get_spark(app="nginx_log_spark-curation")
     docs = spark.read.parquet(args.input)
     holdout = spark.read.parquet(args.holdout) if args.holdout else None
+    ref = spark.read.parquet(args.classifier_ref) if args.classifier_ref else None
     curated, stages = run_curation(
         spark, docs, args.output,
         holdout=holdout, source_cap=args.source_cap, keep_frac=args.keep_frac,
-        index_dir=args.index_dir,
+        index_dir=args.index_dir, classifier_ref=ref,
     )
     for name, df in stages:
         print(f"[curation] {name}: {df.count()} docs")

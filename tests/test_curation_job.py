@@ -80,3 +80,32 @@ def test_curation_shared_index_makes_reingest_a_noop(spark, sf_dir, tmp_path):
         spark, docs, str(tmp_path / "runB"), gate_kwargs=GATE, index_dir=idx
     )
     assert dict(s2)["exact_dedup"].count() == 0
+
+
+def test_curation_trained_filter_stage(spark, sf_dir, tmp_path):
+    # reference corpus = docs with a planted marker vocabulary; the NB
+    # stage should keep marker-bearing crawl docs and drop the rest
+    docs = _docs(spark, sf_dir).limit(120)
+    marked = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" refmark refmark refmark refmark"))
+    )
+    corpus = marked.unionAll(docs.filter(F.col("doc_id") % 2 != 0))
+    ref = marked.limit(30).select("text")
+    curated, stages = run_curation(
+        spark, corpus, str(tmp_path / "cur3"),
+        source_cap=1000, keep_frac=1.0, gate_kwargs=GATE,
+        classifier_ref=ref, classifier_neg_rate=0.4,
+    )
+    st = dict(stages)
+    kept = st["trained_filter"].select("doc_id").toPandas().doc_id
+    assert len(kept) > 0
+    assert set(kept % 2) == {0}  # only marker (reference-like) docs survive
+    assert st["trained_filter"].count() <= st["quality_gate"].count()
+    # resume: the classifier stage is skipped on re-run
+    mtime = (Path(str(tmp_path / "cur3")) / "stage2b_classifier" / "_SUCCESS").stat().st_mtime
+    c2, _ = run_curation(
+        spark, corpus, str(tmp_path / "cur3"),
+        source_cap=1000, keep_frac=1.0, gate_kwargs=GATE,
+        classifier_ref=ref, classifier_neg_rate=0.4,
+    )
+    assert (Path(str(tmp_path / "cur3")) / "stage2b_classifier" / "_SUCCESS").stat().st_mtime == mtime
