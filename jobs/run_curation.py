@@ -42,11 +42,6 @@ bucketed rank — no task ever sorts a hot domain's full row set.
 from __future__ import annotations
 
 import argparse
-from pathlib import Path
-
-
-def _done(path: str) -> bool:
-    return (Path(path) / "_SUCCESS").exists()
 
 
 def run_curation(
@@ -67,8 +62,17 @@ def run_curation(
 ):
     """Run the chain; returns the final curated DataFrame. Each stage
     persists to ``out_base/<stage>`` and is skipped when already complete,
-    so the function doubles as the resume path."""
+    so the function doubles as the resume path. Markers are probed through
+    the Hadoop FileSystem API so resume works when out_base is HDFS/S3A —
+    a driver-local Path check there would always say "not done" and stage 1
+    would re-dedup against an index that already holds this batch's
+    digests, silently emptying the curated output."""
     from pyspark.sql import functions as F
+
+    from nginx_log_spark.fsutil import mark_dir, path_exists, read_parquet_or_empty
+
+    def _done(path: str) -> bool:
+        return path_exists(spark, f"{path}/_SUCCESS")
 
     from nginx_log_spark.functions import (
         dedup_keep,
@@ -103,10 +107,7 @@ def run_curation(
     )
 
     def _read(path: str, schema):
-        try:
-            return spark.read.parquet(path)
-        except Exception:
-            return spark.createDataFrame([], schema)
+        return read_parquet_or_empty(spark, path, schema)
 
     # -- 1. incremental exact dedup vs the persistent digest index --------
     p1 = f"{out_base}/stage1_exact"
@@ -115,18 +116,15 @@ def run_curation(
     # keeps zero docs, which is the whole point
     idx = index_dir or f"{out_base}/digest_index"
     if not _done(p1):
-        try:
-            seen = spark.read.parquet(idx)
-        except Exception:
-            seen = spark.createDataFrame([], "digest string")
+        seen = read_parquet_or_empty(spark, idx, "digest string")
         incremental_dedup(docs, seen).write.mode("overwrite").parquet(p1)
     # the index append carries its own marker so a crash between the two
     # writes can't orphan this batch's digests; a replayed append at worst
     # duplicates digest rows, which the anti-join's distinct absorbs
-    p1m = Path(out_base) / "stage1_index_appended"
-    if not p1m.exists():
+    p1m = f"{out_base}/stage1_index_appended"
+    if not path_exists(spark, p1m):
         _read(p1, digest_schema).select("digest").write.mode("append").parquet(idx)
-        p1m.mkdir(parents=True, exist_ok=True)
+        mark_dir(spark, p1m)
     s1 = _read(p1, digest_schema).drop("digest")
     stages.append(("exact_dedup", s1))
 

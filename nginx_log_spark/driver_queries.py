@@ -2290,11 +2290,18 @@ FROM br GROUP BY lb, batch_idx"""
 
 # RAG-style overlapping windows (window 128, stride 96) over the same
 # token arrays; tokens are the line's latin-1 bytes, so the oracle
-# recomputes each window's exact token sum from the characters.
+# recomputes each window's exact token sum from the characters. Start
+# positions stop at ceil(max(0, n - window)/stride)*stride — once a
+# window reaches the doc end, later strides would only emit windows
+# fully contained in it (mirrors functions/packing.chunk_windows).
 _PACK_W, _PACK_S = 128, 96
 _PACK_R = f"""{_CTE},
 ro AS (SELECT doc_id, line FROM logs WHERE length(line) >= 1),
-rs AS (SELECT doc_id, line, unnest(range(0, length(line), {_PACK_S})) AS s
+rs AS (SELECT doc_id, line,
+              unnest(range(0,
+                           CAST(ceil(greatest(0, length(line) - {_PACK_W})
+                                     / {_PACK_S}) AS INT) * {_PACK_S} + 1,
+                           {_PACK_S})) AS s
        FROM ro)
 SELECT doc_id, s // {_PACK_S} AS chunk_idx, CAST(s AS BIGINT) AS start,
        CAST(least({_PACK_W}, length(line) - s) AS BIGINT) AS chunk_len,

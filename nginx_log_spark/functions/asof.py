@@ -49,6 +49,12 @@ def _prep(
         *[F.col(c) for c in value_cols],
     )
     r = right.select(*on, F.col(right_ts).cast("long").alias("_ats"), payload.alias("_aval"))
+    # SQL equality-join semantics (and DuckDB ASOF JOIN): a NULL key never
+    # matches anything. Dropping null-key RIGHT rows gives null-key left
+    # rows an empty partition -> null asof columns, exactly the LEFT JOIN
+    # outcome — and stops all NULL keys piling into one hot partition.
+    if on:
+        r = r.na.drop(subset=list(on))
     if dedupe_right == "max":
         # deterministic tie-break: one row per (key, ts), greatest payload
         r = r.groupBy(*on, "_ats").agg(F.max("_aval").alias("_aval"))

@@ -51,7 +51,11 @@ __all__ = ["nb_fit", "nb_score", "portable_bucket"]
 def _norm_words(df: DataFrame, text_col: str, *keep: str) -> DataFrame:
     """Whitespace tokens of the normalized text (the corpus-wide norm every
     text operator in this repo shares: lower, trim, collapse whitespace)."""
-    nrm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    # coalesce: NULL text must behave exactly like empty text (tokenizes
+    # to nothing) so nb_score's every-doc-gets-a-row contract holds
+    nrm = F.regexp_replace(
+        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+", " "
+    )
     return df.select(
         *keep, F.explode(F.split(nrm, " ")).alias("word")
     ).filter(F.length("word") > 0)
@@ -177,7 +181,7 @@ def nb_score(
         )
     )
     empty = (
-        df.filter(F.length(F.trim(F.col(text_col))) == 0)
+        df.filter(F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) == 0)
         .select(id_col)
         .crossJoin(F.broadcast(pri2))
         .select(

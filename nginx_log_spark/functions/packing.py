@@ -304,11 +304,21 @@ def chunk_windows(
     exact integer sum of the window's tokens, the cheap integrity
     fingerprint a downstream embedder batch can re-verify after transport.
     Empty docs emit no windows (there is nothing to retrieve).
+
+    The start sequence stops at the first stride multiple >= n - window
+    (ceil((n - window) / stride) * stride): once a window reaches the doc
+    end, later strides would only emit shorter windows fully CONTAINED in
+    it — redundant rows in a retrieval index. So every token is covered,
+    the last window is the only truncated one, and no window is a subset
+    of another.
     """
     if not (0 < stride <= window):
         raise ValueError(f"need 0 < stride <= window, got {stride} > {window}")
     n = F.size(F.col(tokens_col))
-    starts = F.expr(f"sequence(0, size({tokens_col}) - 1, {stride})")
+    starts = F.expr(
+        f"sequence(0, cast(ceil(greatest(0, size({tokens_col}) - {window}) "
+        f"/ {stride}) as int) * {stride}, {stride})"
+    )
     out = (
         df.filter(n >= 1)
         .select(F.col(id_col), F.col(tokens_col), F.explode(starts).alias("start"))

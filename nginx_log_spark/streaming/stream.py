@@ -219,13 +219,16 @@ def stream_incremental_dedup(
     from nginx_log_spark.functions import incremental_dedup
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        from nginx_log_spark.fsutil import read_parquet_or_empty
+
         spark = batch_df.sparkSession
-        try:
-            seen = spark.read.parquet(index_dir).filter(
-                F.col("epoch") != int(epoch_id)
-            )
-        except Exception:  # first batch: no index yet
-            seen = spark.createDataFrame([], "digest string, epoch long")
+        # explicit existence probe: ONLY a genuinely absent index means
+        # "first batch". A transient read fault must propagate (and fail
+        # the micro-batch for retry) — swallowing it as empty history
+        # would silently re-admit every duplicate into the kept sink.
+        seen = read_parquet_or_empty(
+            spark, index_dir, "digest string, epoch long"
+        ).filter(F.col("epoch") != int(epoch_id))
         kept = incremental_dedup(batch_df, seen, text_col, id_col)
         (
             kept.withColumn("epoch", F.lit(int(epoch_id)))

@@ -112,3 +112,20 @@ def test_asof_keeps_all_left_columns(spark):
     _, _, ldf, rdf = _mk(spark)
     out = asof_join(ldf, rdf, on=["k"], left_ts="ts", value_cols=["payload"])
     assert out.columns == ["lid", "k", "ts", "_ts_asof", "payload_asof"]
+
+
+@pytest.mark.parametrize("fn", [asof_join, asof_join_bucketed])
+def test_asof_null_keys_never_match(spark, fn):
+    """SQL equality semantics: NULL join keys match nothing (DuckDB's
+    ASOF LEFT JOIN ON equality behaves the same) — a null-key left row
+    gets null asof columns even when a null-key right row precedes it."""
+    ldf = spark.createDataFrame(
+        [(1, None, 100), (2, 0, 100)], "lid long, k long, ts long"
+    )
+    rdf = spark.createDataFrame(
+        [(10, None, 50, "nullkey"), (11, 0, 50, "real")],
+        "rid long, k long, ts long, payload string",
+    )
+    got = _collect(fn(ldf, rdf, on=["k"], left_ts="ts", value_cols=["payload"]))
+    assert got[1] == (None, None)  # NULL never equals NULL
+    assert got[2] == (50, "real")

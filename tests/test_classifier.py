@@ -59,7 +59,7 @@ def test_nb_empty_doc_scores_prior_argmax(spark):
     docs = _corpus(spark, n=30)
     weird = docs.unionAll(
         spark.createDataFrame(
-            [(1000, "   ", "tech"), (1001, "", "chat")],
+            [(1000, "   ", "tech"), (1001, "", "chat"), (1002, None, "tech")],
             "doc_id long, text string, label string",
         )
     )
@@ -70,10 +70,11 @@ def test_nb_empty_doc_scores_prior_argmax(spark):
     }
     pri = {r.label: r.prior_e6 for r in priors.collect()}
     best = max(sorted(pri), key=lambda k: pri[k])
-    for did in (1000, 1001):
+    # NULL text behaves exactly like empty text: still one row, prior argmax
+    for did in (1000, 1001, 1002):
         assert got[did].nb_pred == best
         assert got[did].nb_score_e6 == pri[best]
-    assert len(got) == 32
+    assert len(got) == 33
 
 
 def test_nb_tie_breaks_label_asc(spark):

@@ -225,8 +225,11 @@ def test_length_bucket_batches_matches_flat_window(spark):
 
 def test_chunk_windows_cover_and_sum(spark, seq_df):
     """Overlapping windows: exact per-window slices vs a local loop —
-    starts every stride, truncated tail, exact token sums, empty docs
-    emit nothing."""
+    starts every stride until a window reaches the doc end (no window
+    fully contained in an earlier one), truncated tail, exact token
+    sums, empty docs emit nothing."""
+    import math
+
     from nginx_log_spark.functions import chunk_windows
 
     W, S = 16, 12
@@ -235,10 +238,20 @@ def test_chunk_windows_cover_and_sum(spark, seq_df):
     got = {(r.id, r.chunk_idx): (r.start, r.chunk_len, r.token_sum) for r in out}
     want = {}
     for i, toks in rows.items():
-        for ci, s in enumerate(range(0, len(toks), S)):
+        if not toks:
+            continue
+        last = math.ceil(max(0, len(toks) - W) / S) * S
+        for ci, s in enumerate(range(0, last + 1, S)):
             sl = toks[s : s + W]
             want[(i, ci)] = (s, len(sl), sum(sl))
     assert got == want
+    # no window is a subset of another (the redundant-tail regression)
+    for i, toks in rows.items():
+        spans = sorted(
+            (s, s + ln) for (di, _), (s, ln, _) in got.items() if di == i
+        )
+        for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+            assert not (a0 <= b0 and b1 <= a1) and not (b0 <= a0 and a1 <= b1)
     # every token position of every non-empty doc is covered by >= 1 window
     for i, toks in rows.items():
         covered = set()
