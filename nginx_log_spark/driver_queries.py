@@ -496,10 +496,12 @@ def log_salted_topk(spark, sf):
     """Skew-safe operators composited (registry consolidation): tag='agg' is
     the two-phase salted aggregation (== plain top-20 by IP with pct);
     tag='join' is the salted hot-key join — a derived per-IP tier dim joined
-    back to the fact with hot keys (detect_hot_keys, threshold 50) salted
-    over 8 buckets, then per-tier counts. Both branches must equal the
-    unsalted plain-SQL forms exactly (the salt is a physical rearrangement,
-    never a semantic one)."""
+    back to the fact with hot keys (detect_hot_keys over a 10% Bernoulli
+    SAMPLE, threshold 50 — the 100 TB default: the detector must not be a
+    full groupBy over the fact table, and misdetection only changes WHICH
+    keys get salted, never any output row) salted over 8 buckets, then
+    per-tier counts. Both branches must equal the unsalted plain-SQL forms
+    exactly (the salt is a physical rearrangement, never a semantic one)."""
     v = _valid_logs(spark, sf)
     tot = v.agg(F.count(F.lit(1)).alias("_tot"))
     cnts = salted_count(v, "remote_addr", salt_buckets=8)
@@ -525,7 +527,7 @@ def log_salted_topk(spark, sf):
             .alias("ip_tier"),
         )
     )
-    hot = detect_hot_keys(v, "remote_addr", threshold=50)
+    hot = detect_hot_keys(v, "remote_addr", threshold=50, sample_frac=0.1)
     joined = salted_join(
         v.select("remote_addr"), dim, "remote_addr", salt_buckets=8, hot_keys=hot
     )
@@ -836,6 +838,9 @@ FROM ({_RETENTION_O})
 UNION ALL
 SELECT 'asof' AS analysis, CAST(event_id AS VARCHAR) AS "key",
        us AS a, vus AS b, vid AS c FROM ({_ASOF_O})
+UNION ALL
+SELECT 'asof_bucketed' AS analysis, CAST(event_id AS VARCHAR) AS "key",
+       us AS a, vus AS b, vid AS c FROM ({_ASOF_O})
 """
 
 
@@ -843,7 +848,10 @@ SELECT 'asof' AS analysis, CAST(event_id AS VARCHAR) AS "key",
 def events_funnel_retention(spark, sf):
     """Conversion funnel + weekly retention cohorts composited: funnel rows
     carry (t1,t2,t3) per user (nulls past the drop-off stage); retention
-    rows carry (week_offset, n_users) per cohort week."""
+    rows carry (week_offset, n_users) per cohort week; asof rows verify
+    BOTH as-of variants — the carry-forward-window join and the skew-safe
+    bucketed one — against DuckDB's native ASOF LEFT JOIN (same oracle
+    query per tag: the variants are exactly equivalent by construction)."""
     fun = events_funnel(spark, sf).select(
         F.lit("funnel").alias("analysis"),
         F.col("user_id").cast("string").alias("key"),
@@ -856,17 +864,24 @@ def events_funnel_retention(spark, sf):
         F.col("n_users").alias("b"),
         F.lit(None).cast("long").alias("c"),
     )
-    return fun.unionAll(ret).unionAll(events_asof_attribution(spark, sf))
+    return (
+        fun.unionAll(ret)
+        .unionAll(events_asof_attribution(spark, sf))
+        .unionAll(events_asof_attribution(spark, sf, bucketed=True))
+    )
 
 
-def events_asof_attribution(spark, sf) -> DataFrame:
+def events_asof_attribution(spark, sf, bucketed: bool = False) -> DataFrame:
     """Purchase→view as-of attribution (functions/asof.asof_join): each
     purchase gets the latest view at-or-before it for the same user — the
     point-in-time lookup shape (config pushes, model-version flips,
     impression→conversion attribution). One shuffle on user_id, carry-
     forward window, zero row multiplication; DuckDB's native ASOF LEFT
-    JOIN verifies it exactly."""
-    from nginx_log_spark.functions import asof_join
+    JOIN verifies it exactly. ``bucketed=True`` routes through
+    functions/asof.asof_join_bucketed — the hot-key-safe variant whose
+    largest per-task sort is one time bucket of one key, never a key's
+    full history — and must produce byte-identical rows."""
+    from nginx_log_spark.functions import asof_join, asof_join_bucketed
 
     ev = spark.read.parquet(f"{sf}/events.parquet").select(
         "event_id",
@@ -876,9 +891,10 @@ def events_asof_attribution(spark, sf) -> DataFrame:
     )
     p = ev.filter(F.col("event_type") == "purchase").drop("event_type")
     v = ev.filter(F.col("event_type") == "view").drop("event_type")
-    joined = asof_join(p, v, on=["user_id"], left_ts="us", value_cols=["event_id"])
+    fn = asof_join_bucketed if bucketed else asof_join
+    joined = fn(p, v, on=["user_id"], left_ts="us", value_cols=["event_id"])
     return joined.select(
-        F.lit("asof").alias("analysis"),
+        F.lit("asof_bucketed" if bucketed else "asof").alias("analysis"),
         F.col("event_id").cast("string").alias("key"),
         F.col("us").alias("a"),
         F.col("_ts_asof").alias("b"),
@@ -1892,6 +1908,23 @@ def mm_frame_sample(spark, sf):
     )
 
 
+# REAL-codec branch: Spark parses genuine RIFF/WAVE PCM bytes
+# (multimodal._decode_wav — chunk walk, fmt/data, int16 samples); the
+# oracle regenerates the decoded content from synth_wav_samples' integer
+# formula and checksums the same comma-joined canonicalization, so a
+# header-parse or sample-decode bug on the Spark side hash-mismatches.
+_WAV_DECODE_O = """
+WITH w AS (
+  SELECT i, printf('w%05d', i) AS media_id, 8 + (i * 13) % 120 AS n
+  FROM range(0, 48) t(i)
+)
+SELECT media_id, 'audio' AS media_type, CAST(44 + 2 * n AS INT) AS n_bytes,
+       -1 AS width, -1 AS height, CAST(n AS INT) AS n_frames,
+       md5(array_to_string([CAST(((i * 31 + j * 7) % 65536) - 32768 AS VARCHAR)
+                            for j in range(0, n)], ',')) AS checksum
+FROM w
+"""
+
 _MM_DECODE_FRAMES_O = f"""
 SELECT 'decode' AS kind, media_id, media_type, n_bytes, width, height,
        n_frames, -1 AS frame_idx, checksum FROM ({_DECODE_ORACLE})
@@ -1899,6 +1932,9 @@ UNION ALL
 SELECT 'frame' AS kind, media_id, '' AS media_type, -1 AS n_bytes,
        -1 AS width, -1 AS height, -1 AS n_frames, frame_idx, '' AS checksum
 FROM ({_FRAME_ORACLE})
+UNION ALL
+SELECT 'decode_wav' AS kind, media_id, media_type, n_bytes, width, height,
+       n_frames, -1 AS frame_idx, checksum FROM ({_WAV_DECODE_O})
 """
 
 
@@ -1907,9 +1943,12 @@ def mm_decode_frames(spark, sf):
     """Multimodal decode metadata + video frame-sampling composited
     (registry consolidation): 'decode' rows carry the per-item decoded
     metadata (width/height/n_frames/checksum over the deterministic codec
-    fake), 'frame' rows the every-10th-frame sampling plan; sentinel -1/''
-    fill the branch-inapplicable columns (cross-engine null dtypes would
-    break the value hash)."""
+    fake), 'frame' rows the every-10th-frame sampling plan, and
+    'decode_wav' rows the REAL codec path — genuine RIFF/WAVE PCM
+    containers parsed by multimodal._decode_wav (fake=False), content
+    checksum over the decoded int16 samples; sentinel -1/'' fill the
+    branch-inapplicable columns (cross-engine null dtypes would break the
+    value hash)."""
     dec = mm_decode_meta(spark, sf).select(
         F.lit("decode").alias("kind"), "media_id", "media_type",
         F.col("n_bytes").cast("int").alias("n_bytes"),
@@ -1923,7 +1962,17 @@ def mm_decode_frames(spark, sf):
         F.lit(-1).cast("int").alias("n_frames"), "frame_idx",
         F.lit("").alias("checksum"),
     )
-    return dec.unionAll(fr)
+    from nginx_log_spark.functions.multimodal import decode_media, synth_wav_df
+
+    wav = decode_media(synth_wav_df(spark, 48), fake=False).select(
+        F.lit("decode_wav").alias("kind"), "media_id", "media_type",
+        F.col("n_bytes").cast("int").alias("n_bytes"),
+        F.coalesce("width", F.lit(-1)).cast("int").alias("width"),
+        F.coalesce("height", F.lit(-1)).cast("int").alias("height"),
+        F.coalesce("n_frames", F.lit(-1)).cast("int").alias("n_frames"),
+        F.lit(-1).cast("int").alias("frame_idx"), "checksum",
+    )
+    return dec.unionAll(fr).unionAll(wav)
 
 
 def _feat_oracle_cols() -> str:

@@ -3,11 +3,20 @@
 Media (image/audio/video) ride as opaque ``binary`` columns with a typed
 metadata struct. Decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` operators — the Spark-side contract (schema,
-batch shape, partition behavior) is real and tested; the actual codec call
-is isolated in ``_decode_bytes`` and STUBBED here (no PIL/ffmpeg in this
-container): with ``fake=True`` it derives deterministic metadata from the
-bytes, with ``fake=False`` it raises NotImplementedError at the exact seam
-where a codec library would plug in.
+batch shape, partition behavior) is real and tested. The codec call is
+isolated in ``_decode_bytes``: with ``fake=True`` it derives deterministic
+pseudo-metadata from the bytes; with ``fake=False`` it REALLY parses the
+containers implementable with zero dependencies — RIFF/WAVE PCM audio
+(chunk walk, fmt/data parse, int16 samples) and binary PPM (P6) images —
+and raises NotImplementedError only for formats that genuinely need an
+external library (JPEG/PNG/MP4: PIL / soundfile / pyav would plug in at
+the same seam).
+
+Real-decode checksum semantics: md5 over the DECODED canonical content
+(comma-joined sample/pixel integers), not the container bytes — the
+content-addressed identity a dedup pipeline wants (two containers of the
+same samples collide), and exactly reproducible by the DuckDB oracle as
+md5(array_to_string([...], ',')) without md5(BLOB) support.
 """
 
 from __future__ import annotations
@@ -42,14 +51,100 @@ DECODED_SCHEMA = T.StructType(
 )
 
 
+def _decode_wav(payload: bytes) -> dict:
+    """Real RIFF/WAVE PCM parse, stdlib only: walk the chunk list, read
+    channels / bits-per-sample from 'fmt ', count frames from 'data', and
+    checksum the decoded int16 samples (content identity, not container
+    identity). Raises ValueError on malformed containers — corrupt media
+    must be routed to a reject sink, never silently faked."""
+    import hashlib
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned (pad byte)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, _rate, _byte_rate, block_align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"only PCM16 supported, got format={audio_format} bits={bits}")
+    n_frames = len(data) // block_align
+    samples = np.frombuffer(data[: n_frames * block_align], dtype="<i2")
+    return {
+        "width": None,
+        "height": None,
+        "n_frames": n_frames,
+        "checksum": hashlib.md5(
+            ",".join(str(int(s)) for s in samples).encode()
+        ).hexdigest(),
+    }
+
+
+def _decode_ppm(payload: bytes) -> dict:
+    """Real binary-PPM (P6) parse, stdlib only: whitespace/comment-tolerant
+    header scan for width/height/maxval, then the raw RGB plane; checksum
+    over the decoded pixel bytes (content identity)."""
+    import hashlib
+
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6)")
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated PPM header")
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 supported, got {maxval}")
+    raster = payload[pos : pos + width * height * 3]
+    if len(raster) < width * height * 3:
+        raise ValueError("truncated PPM raster")
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": None,
+        "checksum": hashlib.md5(
+            ",".join(str(b) for b in raster).encode()
+        ).hexdigest(),
+    }
+
+
 def _decode_bytes(payload: bytes, media_type: str, fake: bool) -> dict:
-    """THE codec seam. Real implementation would call PIL / soundfile /
-    pyav here; this container has none, so fake=True derives deterministic
-    pseudo-metadata from the payload bytes."""
+    """THE codec seam. fake=True derives deterministic pseudo-metadata from
+    the payload bytes; fake=False really decodes the zero-dependency
+    containers (RIFF/WAVE PCM, binary PPM) and raises NotImplementedError
+    for formats that need an external codec (PIL / soundfile / pyav would
+    plug in here)."""
     if not fake:
+        payload = bytes(payload)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return _decode_wav(payload)
+        if payload[:2] == b"P6":
+            return _decode_ppm(payload)
         raise NotImplementedError(
-            "media codecs (PIL/soundfile/pyav) are not available in this "
-            "environment; pass fake=True for the deterministic stub"
+            "real decode supports RIFF/WAVE PCM and binary PPM; other "
+            "formats (JPEG/PNG/MP4/...) need PIL/soundfile/pyav, which "
+            "are not available in this environment"
         )
     import hashlib
 
@@ -142,6 +237,47 @@ def synth_payload_text(i: int, seed: int = 42) -> str:
     for j in range((size + 31) // 32):
         chunks.append(hashlib.md5(f"media:{seed}:{i}:{j}".encode()).hexdigest())
     return "".join(chunks)[:size]
+
+
+def synth_wav_samples(i: int) -> list[int]:
+    """Row i's PCM16 samples: n = 8 + (i*13) % 120 samples, sample j =
+    ((i*31 + j*7) % 65536) - 32768. Pure integer arithmetic so the DuckDB
+    oracle regenerates the exact decoded content (and its checksum) in SQL
+    — see driver_queries._WAV_DECODE_O."""
+    n = 8 + (i * 13) % 120
+    return [((i * 31 + j * 7) % 65536) - 32768 for j in range(n)]
+
+
+def synth_wav_payload(i: int, sample_rate: int = 8000) -> bytes:
+    """A REAL single-channel PCM16 RIFF/WAVE file for row i — well-formed
+    chunk sizes, fmt and data chunks, little-endian samples. What
+    _decode_wav parses back out must round-trip exactly."""
+    import struct
+
+    samples = synth_wav_samples(i)
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    block_align, byte_rate = 2, sample_rate * 2
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, byte_rate, block_align, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synth_wav_df(spark, n: int = 48) -> DataFrame:
+    """Deterministic REAL-WAV media table (media_type='audio') for the
+    real-codec decode path and its driver oracle."""
+    rows = []
+    for i in range(n):
+        payload = synth_wav_payload(i)
+        rows.append(
+            {
+                "media_id": f"w{i:05d}",
+                "media_type": "audio",
+                "payload": bytearray(payload),
+                "n_bytes": len(payload),
+            }
+        )
+    return spark.createDataFrame(pd.DataFrame(rows), schema=MEDIA_SCHEMA)
 
 
 def synth_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:

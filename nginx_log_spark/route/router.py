@@ -192,6 +192,7 @@ def salted_join(
     hot_keys: DataFrame | None = None,
     how: str = "inner",
     seed: int = 42,
+    detect_sample_frac: float | None = 0.01,
 ) -> DataFrame:
     """Skew-safe equi-join for when ``small`` is too big to broadcast AND
     ``big`` has hot keys: rows of ``big`` whose key is hot get a random salt
@@ -205,8 +206,13 @@ def salted_join(
     Replication cost is bounded by |hot_keys| x salt_buckets rows of
     ``small``, NOT |small| x salt_buckets.
 
-    ``hot_keys`` (DataFrame[key]) defaults to ``detect_hot_keys(big, key)``
-    — pass a sampled detection at scale. Only ``inner`` and ``left`` are
+    ``hot_keys`` (DataFrame[key]) defaults to SAMPLED detection —
+    ``detect_hot_keys(big, key, sample_frac=detect_sample_frac)`` (1%
+    Bernoulli): the detector itself must not be a full groupBy over the
+    fact table at 100 TB, and a misclassified cold key only costs harmless
+    extra salting, never a wrong row (the join result is exact for ANY
+    hot-key set). Pass ``detect_sample_frac=None`` for exact detection on
+    small inputs. Only ``inner`` and ``left`` are
     supported: for right/full outer, unmatched replicated small rows would
     surface ``salt_buckets`` times. Non-key column names of ``big`` and
     ``small`` must not collide (standard equi-join caveat).
@@ -219,7 +225,7 @@ def salted_join(
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     if hot_keys is None:
-        hot_keys = detect_hot_keys(big, key)
+        hot_keys = detect_hot_keys(big, key, sample_frac=detect_sample_frac)
     hot = F.broadcast(
         hot_keys.select(F.col(key).alias("_hk_key")).withColumn("_hk", F.lit(True))
     )

@@ -350,8 +350,62 @@ def test_multimodal_decode_and_features(spark):
 def test_multimodal_real_decode_raises(spark):
     from nginx_log_spark.functions.multimodal import _decode_bytes
 
+    # unrecognized container -> the declared external-codec seam
     with pytest.raises(NotImplementedError):
-        _decode_bytes(b"xx", "image", fake=False)
+        _decode_bytes(b"\x89PNG\r\n\x1a\n", "image", fake=False)
+
+
+def test_multimodal_real_wav_decode(spark):
+    """REAL codec path: genuine RIFF/WAVE PCM containers parsed end-to-end
+    through the mapInPandas operator — frame counts from the data chunk,
+    checksum over the decoded int16 samples; corrupt containers raise."""
+    import hashlib
+
+    from nginx_log_spark.functions.multimodal import (
+        _decode_bytes,
+        decode_media,
+        synth_wav_df,
+        synth_wav_payload,
+        synth_wav_samples,
+    )
+
+    dec = decode_media(synth_wav_df(spark, 12), fake=False).toPandas()
+    assert len(dec) == 12
+    for r in dec.itertuples():
+        i = int(r.media_id[1:])
+        samples = synth_wav_samples(i)
+        assert r.n_frames == len(samples)
+        assert pd.isna(r.width) and pd.isna(r.height)
+        want = hashlib.md5(",".join(map(str, samples)).encode()).hexdigest()
+        assert r.checksum == want
+    # container identity != content identity: same samples, extra chunk
+    # before data -> same checksum
+    p = synth_wav_payload(3)
+    extra = p[:12] + b"LIST\x04\x00\x00\x00info" + p[12:]
+    extra = extra[:4] + (len(extra) - 8).to_bytes(4, "little") + extra[8:]
+    assert (
+        _decode_bytes(extra, "audio", fake=False)["checksum"]
+        == _decode_bytes(p, "audio", fake=False)["checksum"]
+    )
+    # truncated data chunk -> hard error, never silent fake
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_bytes(p[:-1], "audio", fake=False)
+
+
+def test_multimodal_real_ppm_decode(spark):
+    import hashlib
+
+    from nginx_log_spark.functions.multimodal import _decode_bytes
+
+    raster = bytes((i * 7) % 256 for i in range(5 * 4 * 3))
+    ppm = b"P6\n# c\n5 4\n255\n" + raster
+    d = _decode_bytes(ppm, "image", fake=False)
+    assert (d["width"], d["height"], d["n_frames"]) == (5, 4, None)
+    assert d["checksum"] == hashlib.md5(
+        ",".join(str(b) for b in raster).encode()
+    ).hexdigest()
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_bytes(ppm[:-1], "image", fake=False)
 
 
 def test_repetition_stats_known_values(spark):

@@ -184,6 +184,24 @@ def test_salted_join_detection_sampled(spark):
     assert all(k == "hot.ip" for k in ks)  # cold keys (1 row) stay cold
 
 
+def test_salted_join_default_detection_is_sampled(spark):
+    """The 100 TB default: auto-detection must run over a Bernoulli sample
+    of the fact table, never a full groupBy — plan-asserted (Sample node
+    feeding the hot-key aggregate), and still exact vs the plain join."""
+    from nginx_log_spark.route import salted_join
+
+    big, small = _skewed_frames(spark)
+    got = salted_join(big, small, "k", salt_buckets=8, detect_sample_frac=0.5)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Sample" in plan
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, big.join(small, "k").collect())
+    )
+    # exact mode stays available and plan-visible
+    exact = salted_join(big, small, "k", salt_buckets=8, detect_sample_frac=None)
+    assert "Sample" not in exact._jdf.queryExecution().executedPlan().toString()
+
+
 def test_salted_join_plan_salts_the_join_keys(spark):
     """With broadcast disabled, the physical join must key on (k, _salt) —
     i.e. the hot key's rows really are spread over salt_buckets reducers."""
