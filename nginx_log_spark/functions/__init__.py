@@ -11,6 +11,7 @@ from nginx_log_spark.functions.dedup import (  # noqa: F401
     minhash_signatures,
     neardup_components,
     ngram_jaccard_pairs,
+    prefix_jaccard_pairs,
     repetition_stats,
     simhash16,
     simhash64,

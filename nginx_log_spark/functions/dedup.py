@@ -371,23 +371,26 @@ def neardup_components(
     pairs: DataFrame,
     a_col: str = "id_a",
     b_col: str = "id_b",
-    max_rounds: int = 12,
+    max_rounds: int = 15,
 ) -> DataFrame:
     """Connected components over verified duplicate pairs via min-label
-    propagation: every node starts labelled with its own id; each round a
-    node takes the min of its and its neighbours' labels; at fixpoint the
+    propagation WITH POINTER JUMPING: every node starts labelled with its
+    own id; each round a node takes the min of its and its neighbours'
+    labels, then compresses lbl(u) := lbl(lbl(u)) (the label is always a
+    node id of the same component, so the jump stays in-component). The
+    jump doubles the propagation horizon per round, so convergence is
+    O(log diameter) rounds — BOUNDED even on adversarial path graphs,
+    the same guarantee class as large-star/small-star contraction —
+    instead of O(diameter) for plain hop propagation. At fixpoint the
     label is the component's global minimum id. Returns (node, component).
 
     Scale shape: each round is one equi-join edges->labels + one
-    groupBy(node).min — uniform keys, no single-partition step; labels are
-    localCheckpoint'ed per round so the plan lineage stays flat instead of
-    growing exponentially. Plain hop-propagation converges in
-    diameter(component) rounds — near-dup clusters are clique-like
-    (diameter 1-3), so max_rounds=12 is generous; convergence is CHECKED
-    (one small action per round) and non-convergence raises rather than
-    returning a partial clustering. (A 100 TB graph with long chains would
-    use the large-star/small-star variant — same join shapes, O(log n)
-    rounds.)"""
+    groupBy(node).min + one labels self-join (all uniform node keys, no
+    single-partition step); labels are localCheckpoint'ed per round so
+    the plan lineage stays flat instead of growing exponentially.
+    max_rounds=15 covers component diameters ~2^13; convergence is
+    CHECKED (one small action per round) and non-convergence raises
+    rather than returning a partial clustering."""
     edges = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
     edges = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -403,11 +406,23 @@ def neardup_components(
             edges.join(labels, edges.v == labels.node)
             .groupBy("u").agg(F.min("lbl").alias("_nlbl"))
         )
+        stepped = labels.join(nbr, labels.node == nbr.u, "left").select(
+            "node",
+            F.least(F.col("lbl"), F.coalesce("_nlbl", "lbl")).alias("lbl"),
+        )
+        # pointer jump: lbl(u) := lbl(lbl(u)). Every label is a node id in
+        # u's component (it entered the table as some node's own id), so
+        # the looked-up label exists and stays in-component; labels only
+        # decrease, so the fixpoint (= component min everywhere) is
+        # unchanged — the jump just reaches it exponentially faster.
+        jump = stepped.select(
+            F.col("node").alias("_jnode"), F.col("lbl").alias("_jlbl")
+        )
         new = (
-            labels.join(nbr, labels.node == nbr.u, "left")
+            stepped.join(jump, stepped.lbl == jump._jnode, "left")
             .select(
                 "node",
-                F.least(F.col("lbl"), F.coalesce("_nlbl", "lbl")).alias("lbl"),
+                F.least(F.col("lbl"), F.coalesce("_jlbl", "lbl")).alias("lbl"),
             )
             .localCheckpoint(eager=True)
         )
@@ -562,6 +577,72 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact shingle-Jaccard pairs at >= threshold via PREFIX FILTERING
+    (the all-pairs similarity join of Bayardo et al., WWW 2007 / the
+    PPJoin family) — the same result set as ngram_jaccard_pairs' full
+    shingle self-join, with quadratically less join work.
+
+    Why it is exact: J(A,B) >= t implies |A∩B| >= t*|A| (and t*|B|), so
+    under ANY global total order on shingles a qualifying pair must share
+    at least one shingle among the first |d| - ceil(t*|d|) + 1 shingles
+    of EACH side — if both prefixes were disjoint from the intersection,
+    the intersection would have to fit entirely in the suffixes, which
+    are too short. We order by (document frequency asc, shingle asc), so
+    prefixes hold each doc's RAREST shingles and stop-shingle buckets
+    ("the ", " and ") never form candidates unless they are genuinely
+    rare. Candidates are then verified with the exact array_intersect
+    Jaccard, identical expression to ngram_jaccard_pairs.
+
+    The prefix length uses floor instead of ceil (one extra indexed
+    shingle when t*|d| is fractional): float rounding in t*|d| can only
+    ever LENGTHEN the prefix, never shorten it below the exactness bound.
+
+    Scale shape: one explode + vocab-sized groupBy for frequencies, a
+    per-doc window over uniform id keys for ranks, an equi-join on prefix
+    shingles only (~(1-t) of the original volume, rare-first), and a
+    |candidates|-bounded verify. No all-pairs step anywhere."""
+    from pyspark.sql import Window
+
+    sh = with_shingles(df.select(id_col, text_col), text_col, shingle_k).select(
+        F.col(id_col), F.col("_sh")
+    )
+    ex = sh.select(id_col, F.size("_sh").alias("_n"), F.explode("_sh").alias("_s"))
+    freq = ex.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = ex.join(freq, "_s").withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy(id_col).orderBy(F.asc("_df"), F.asc("_s"))
+        ),
+    )
+    prefix = ranked.filter(
+        F.col("_rk") <= F.col("_n") - F.floor(F.lit(threshold) * F.col("_n")) + 1
+    ).select(id_col, "_s")
+    a = prefix.select(F.col(id_col).alias("id_a"), "_s")
+    b = prefix.select(F.col(id_col).alias("id_b"), "_s")
+    cands = (
+        a.join(b, ["_s"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb"))
+    joined = cands.join(sa, "id_a").join(sb, "id_b")
+    common = F.size(F.array_intersect("_sa", "_sb"))
+    jac = F.round(common / (F.size("_sa") + F.size("_sb") - common), 6)
+    return (
+        joined.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
     )
 
 

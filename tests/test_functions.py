@@ -725,18 +725,53 @@ def test_connected_components_vs_pairwise_keep(spark):
 
 
 def test_connected_components_long_chain_raises_past_bound(spark):
-    """A path graph's diameter bounds the rounds: a 6-node chain converges
-    within the default bound; with max_rounds=1 non-convergence raises
-    instead of returning a partial clustering."""
+    """Pointer jumping makes rounds O(log diameter): a 40-node path graph
+    (diameter 39) converges in <= 7 rounds (plain hop propagation would
+    need 39); with max_rounds=1 non-convergence still raises instead of
+    returning a partial clustering."""
     from nginx_log_spark.functions import neardup_components
 
     chain = spark.createDataFrame(
-        [(i, i + 1) for i in range(1, 6)], "id_a long, id_b long"
+        [(i, i + 1) for i in range(1, 40)], "id_a long, id_b long"
     )
-    comp = {r.node: r.component for r in neardup_components(chain).collect()}
-    assert set(comp.values()) == {1}
+    comp = {
+        r.node: r.component
+        for r in neardup_components(chain, max_rounds=7).collect()
+    }
+    assert set(comp.values()) == {1} and len(comp) == 40
     with pytest.raises(ValueError, match="no fixpoint"):
         neardup_components(chain, max_rounds=1)
+
+
+def test_prefix_jaccard_equals_exhaustive(spark):
+    """prefix_jaccard_pairs must return EXACTLY ngram_jaccard_pairs' result
+    (same pairs, same rounded jaccard) — seeded random corpus with planted
+    near-dup clones, boilerplate-heavy docs (hot shingles), identical
+    twins (J=1), and sub-threshold siblings, at two thresholds including
+    one where t*|d| is integral for some docs (the ceil/floor edge)."""
+    import random
+
+    from nginx_log_spark.functions import ngram_jaccard_pairs, prefix_jaccard_pairs
+
+    rng = random.Random(99)
+    vocab = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf"]
+    boiler = "the quick brown fox jumps over the lazy dog"
+    rows = []
+    for i in range(60):
+        words = [vocab[rng.randrange(len(vocab))] for _ in range(rng.randrange(4, 14))]
+        rows.append((i, " ".join(words) + " " + boiler))
+    for i in range(60, 75):  # planted clones of doc (i-60): identical
+        rows.append((i, rows[i - 60][1]))
+    for i in range(75, 90):  # near-clones: one word appended
+        rows.append((i, rows[i - 75][1] + " zulu"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.5, 0.7, 0.9):
+        exact = ngram_jaccard_pairs(df, shingle_k=5, threshold=t).collect()
+        fast = prefix_jaccard_pairs(df, shingle_k=5, threshold=t).collect()
+        want = {(r.id_a, r.id_b): r.jaccard for r in exact}
+        got = {(r.id_a, r.id_b): r.jaccard for r in fast}
+        assert got == want, f"threshold={t}: {len(got)} vs {len(want)} pairs"
+        assert want, f"threshold={t}: vacuous fixture"
 
 
 def test_temperature_resample_flattens_mixture(spark):

@@ -1,0 +1,76 @@
+"""Sweep-cost observability guard (r3 verdict ask #8).
+
+The grading driver evaluates every registered query in one budgeted sweep;
+in round 3 a single composite (docs_dedup_retain) silently grew to 34% of
+the whole sf0.1 sweep — one more regression like that and a driver-side
+timeout would erase multiple green rows at once. These tests fail CI when
+any one query hogs the sweep budget, using the per-query timings the
+sweep artifacts already record (tools/sweep.py writes them exactly so that
+cost regressions are diagnosable from artifacts alone).
+
+The artifacts are refreshed every round (tools/sweep.py); the guard also
+cross-checks that the artifact still covers the registered query set, so
+a stale file can't vacuously pass.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+# one query may cost at most this share of the whole sweep's spark time
+MAX_SHARE = 0.30
+# and, at sf0.1, at most this many absolute seconds (driver-timeout margin;
+# the r3 offender was 1036s)
+MAX_ABS_SF01 = 600.0
+# artifact staleness: at most this many registered queries may be missing
+# from the artifact (new queries land before the next full re-sweep)
+MAX_MISSING = 5
+
+
+def _load(name: str) -> dict:
+    p = REPO / name
+    if not p.exists():
+        pytest.skip(f"{name} not present (run tools/sweep.py)")
+    d = json.loads(p.read_text())
+    return d["queries"] if "queries" in d else d
+
+
+def _registered() -> set[str]:
+    from nginx_log_spark import driver_queries as dq
+
+    return set(dq.queries())
+
+
+@pytest.mark.parametrize(
+    "artifact,abs_cap",
+    [("CORRECTNESS_LOCAL.json", None), ("CORRECTNESS_SF01.json", MAX_ABS_SF01)],
+)
+def test_no_single_query_hogs_the_sweep(artifact, abs_cap):
+    qs = _load(artifact)
+    timed = {k: v["spark_sec"] for k, v in qs.items() if v.get("spark_sec")}
+    assert timed, f"{artifact} has no per-query timings"
+    total = sum(timed.values())
+    worst_q, worst = max(timed.items(), key=lambda kv: kv[1])
+    assert worst <= MAX_SHARE * total, (
+        f"{artifact}: {worst_q} costs {worst:.0f}s = {worst / total:.0%} of the "
+        f"{total:.0f}s sweep (cap {MAX_SHARE:.0%}) — stage/cache its shared "
+        "inputs or split the composite before the driver sweep times out"
+    )
+    if abs_cap is not None:
+        assert worst <= abs_cap, (
+            f"{artifact}: {worst_q} costs {worst:.0f}s (cap {abs_cap:.0f}s)"
+        )
+
+
+def test_sweep_artifact_covers_registry():
+    qs = _load("CORRECTNESS_LOCAL.json")
+    missing = _registered() - set(qs)
+    assert len(missing) <= MAX_MISSING, (
+        f"{len(missing)} registered queries missing from CORRECTNESS_LOCAL.json "
+        f"(stale artifact — rerun tools/sweep.py): {sorted(missing)[:10]}"
+    )
