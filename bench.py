@@ -217,10 +217,17 @@ def _group_queries(spark, group: str) -> dict[str, float]:
             sigs = minhash_signatures(docs, n_hashes=8, shingle_k=5, hash_fn=hash_fn)
             lsh_candidate_pairs(sigs, band_size=4, max_bucket=100).count()
 
-        # md5_sliced = the DuckDB-oracle-parity path; xxhash64 = the native fast path
-        queries["docs_minhash_lsh"] = _timed(lambda: q_minhash("md5_sliced"), "docs_minhash_lsh")
+        # HEADLINE = xxhash64, the production path (native codegen'd hash,
+        # no digest strings); md5_sliced rides along as the DuckDB-oracle
+        # PARITY TWIN — it exists so the driver can value-check the LSH
+        # chain, not as the 100 TB plan (r3 verdict ask #4). The ledger key
+        # docs_minhash_lsh_md5_parity is fresh on purpose: the old mixed
+        # 'docs_minhash_lsh' minima must not blend the two code paths.
         queries["docs_minhash_lsh_xxh"] = _timed(
             lambda: q_minhash("xxhash64"), "docs_minhash_lsh_xxh"
+        )
+        queries["docs_minhash_lsh_md5_parity"] = _timed(
+            lambda: q_minhash("md5_sliced"), "docs_minhash_lsh_md5_parity"
         )
         # emb_cosine_topk became a two-variant composite in round 3
         # (pretrained dense + hashed TF-IDF sparse retrieval); fresh ledger

@@ -1225,7 +1225,14 @@ WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= 0.2
 
 
 def docs_ngram_jaccard(spark, sf):
-    return ngram_jaccard_pairs(_docs(spark, sf), shingle_k=5, threshold=0.2)
+    """Exact Jaccard pairs at t=0.2 via the prefix-filtered all-pairs join
+    (functions/dedup.prefix_jaccard_pairs) — identical result set to the
+    exhaustive shingle self-join the oracle replays; even at this low
+    threshold the rare-first prefix excludes the hottest stop-shingles
+    (the quadratic term) from candidate generation."""
+    from nginx_log_spark.functions import prefix_jaccard_pairs
+
+    return prefix_jaccard_pairs(_docs(spark, sf), shingle_k=5, threshold=0.2)
 
 
 _PAIR_SCORES_O = f"""

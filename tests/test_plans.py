@@ -232,3 +232,40 @@ def test_top_fraction_gate_two_phase_window(spark, docs):
     p = plan(out)
     assert p.count("Window") >= 2
     assert "BroadcastHashJoin" in p
+
+
+def test_prefix_jaccard_is_equi_join_on_prefix(spark, docs):
+    """Candidate generation must be an equi-join (on the prefix-shingle
+    key), never a cartesian/nested-loop product; the per-doc rank window
+    partitions by the uniform doc id."""
+    from nginx_log_spark.functions import prefix_jaccard_pairs
+
+    p = plan(prefix_jaccard_pairs(docs, shingle_k=5, threshold=0.7))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "array_intersect" in p  # bounded verify, not a re-join on shingles
+
+
+def test_asof_join_single_window_no_range_join(spark, sf_dir):
+    """The as-of join must be union + ONE carry-forward window — no
+    range-condition join (which Spark can only execute as a nested-loop
+    product) and no row multiplication."""
+    from nginx_log_spark.functions import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"), "event_type",
+    )
+    out = asof_join(
+        ev.filter(F.col("event_type") == "purchase").drop("event_type"),
+        ev.filter(F.col("event_type") == "view").drop("event_type"),
+        on=["user_id"], left_ts="us", value_cols=["event_id"],
+    )
+    p = plan(out)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" not in p  # no join at all post-union
+    # exactly ONE Window node (formatted output lists nodes twice:
+    # tree + details — use the executed-plan tree instead)
+    exe = out._jdf.queryExecution().executedPlan().toString()
+    assert exe.count("Window") == 1

@@ -249,6 +249,39 @@ def main() -> None:
         plan(chunk_windows(seq, window=128, stride=96)),
     ))
 
+    from nginx_log_spark.functions import asof_join, prefix_jaccard_pairs
+
+    sections.append((
+        "prefix_jaccard_pairs (exact all-pairs similarity, Bayardo 2007)",
+        "Candidate generation equi-joins on PREFIX shingles only (rare-"
+        "first order: the window ranks by document frequency asc, so the "
+        "quadratic stop-shingle buckets never meet); verification is a "
+        "|candidates|-bounded array_intersect Project. No shingle "
+        "self-join over the full sets, no CartesianProduct — the result "
+        "set is provably identical to the exhaustive join.",
+        plan(prefix_jaccard_pairs(docs, shingle_k=5, threshold=0.7)),
+    ))
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"), "event_type",
+    )
+    sections.append((
+        "asof_join (point-in-time lookup, carry-forward window)",
+        "One union + one shuffle on the join key feeding a single Window "
+        "with last(ignorenulls) — no range-condition join, so no "
+        "CartesianProduct/BroadcastNestedLoopJoin and zero row "
+        "multiplication; null-key right rows are dropped up front (SQL "
+        "equality semantics + no all-NULLs hot partition).",
+        plan(
+            asof_join(
+                ev.filter(F.col("event_type") == "purchase").drop("event_type"),
+                ev.filter(F.col("event_type") == "view").drop("event_type"),
+                on=["user_id"], left_ts="us", value_cols=["event_id"],
+            )
+        ),
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by tools/plans.py)\n"]
     out.append(
         "Each section: the claim the 100 TB design makes, then the actual\n"
