@@ -2159,16 +2159,61 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, status,
 FROM v JOIN events ON 'e' || CAST(event_id AS VARCHAR) = v.doc_id
 GROUP BY 1, 2"""
 
+# streaming incremental dedup vs the on-disk digest index: documents are
+# replayed as FOUR epoch files (epoch = doc_id % 4, ascending mtimes ->
+# batch order 0..3); keep = first-in-batch (min doc_id) per digest AND
+# digest unseen in any EARLIER epoch. The oracle replays both rules.
+_STREAM_DEDUP_O = r"""
+WITH d AS (
+  SELECT doc_id, doc_id % 4 AS epoch,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS digest
+  FROM documents),
+f AS (SELECT digest, MIN(epoch) AS e0 FROM d GROUP BY 1),
+k AS (SELECT d.digest, MIN(d.doc_id) AS keep_id
+      FROM d JOIN f ON d.digest = f.digest AND d.epoch = f.e0
+      GROUP BY 1)
+SELECT d.doc_id, d.epoch
+FROM d JOIN k ON d.digest = k.digest AND d.doc_id = k.keep_id
+"""
 
-@_register("stream_hourly_counts", _STREAM_HOURLY_O)
+_STREAM_HOURLY_COMPOSITE_O = f"""
+SELECT 'hourly' AS kind, hour || ':' || CAST(status AS VARCHAR) AS "key",
+       hits AS a, bytes AS b FROM ({_STREAM_HOURLY_O})
+UNION ALL
+SELECT 'stream_dedup' AS kind, CAST(doc_id AS VARCHAR) AS "key",
+       CAST(epoch AS BIGINT) AS a, CAST(-1 AS BIGINT) AS b
+FROM ({_STREAM_DEDUP_O})
+"""
+
+
+@_register("stream_hourly_counts", _STREAM_HOURLY_COMPOSITE_O)
 def stream_hourly_counts_q(spark, sf):
-    """The Structured Streaming surface, driver-checked: the watermarked
-    tumbling-hour aggregate run with Trigger.AvailableNow over the same
-    sequence table, complete-mode memory sink — must equal the batch
-    rollup exactly (streaming/stream.py)."""
-    import tempfile
+    """The Structured Streaming surface, driver-checked, composited
+    (round 4 adds the second kind):
 
-    from nginx_log_spark.streaming import read_sequence_stream, stream_hourly_counts
+    kind='hourly' — the watermarked tumbling-hour aggregate run with
+    Trigger.AvailableNow over the sequence table, complete-mode memory
+    sink; must equal the batch rollup exactly (streaming/stream.py).
+
+    kind='stream_dedup' — streaming exact dedup against the UNBOUNDED
+    on-disk digest index (streaming/stream.py::stream_incremental_dedup,
+    the foreachBatch + epoch-keyed idempotent index-append operator):
+    documents replayed as four genuine micro-batches (one file per
+    trigger, epoch = doc_id % 4), kept rows read back from the
+    epoch-partitioned sink; the oracle replays first-epoch-wins +
+    min-id-within-batch in SQL."""
+    import os
+    import tempfile
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nginx_log_spark.streaming import (
+        read_sequence_stream,
+        stream_hourly_counts,
+        stream_incremental_dedup,
+    )
 
     base = tempfile.mkdtemp(prefix="nls_stream_")
     tag = base.rsplit("_", 1)[-1]
@@ -2186,11 +2231,45 @@ def stream_hourly_counts_q(spark, sf):
         .trigger(availableNow=True).start()
     )
     q.awaitTermination(600)
-    out = spark.table(f"stream_hourly_{tag}")
-    return out.select(
-        F.date_format("hour", "yyyy-MM-dd HH").alias("hour"),
-        "status", "hits", "bytes",
+    hourly = spark.table(f"stream_hourly_{tag}").select(
+        F.lit("hourly").alias("kind"),
+        F.concat(
+            F.date_format("hour", "yyyy-MM-dd HH"), F.lit(":"),
+            F.col("status").cast("string"),
+        ).alias("key"),
+        F.col("hits").alias("a"), F.col("bytes").alias("b"),
     )
+
+    # harness setup (not the operator): four epoch files with ascending
+    # mtimes so the file source replays them oldest-first, one per trigger
+    ddir = f"{base}/docs"
+    os.makedirs(ddir)
+    pdf = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "text").toPandas()
+    )
+    now = _time.time()
+    for i in range(4):
+        part = pdf[pdf.doc_id % 4 == i]
+        path = f"{ddir}/{i:02d}.parquet"
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), path)
+        os.utime(path, (now + i, now + i))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ddir)
+    )
+    q2 = stream_incremental_dedup(
+        stream, f"{base}/idx", f"{base}/kept", f"{base}/ckpt_dedup"
+    ).start()
+    q2.awaitTermination(600)
+    kept = spark.read.parquet(f"{base}/kept").select(
+        F.lit("stream_dedup").alias("kind"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("epoch").cast("long").alias("a"),
+        F.lit(-1).cast("long").alias("b"),
+    )
+    return hourly.unionAll(kept)
 
 
 _SESS_STREAM_O = """

@@ -411,9 +411,18 @@ def embedding_neardup_pairs(
     exact=False: self-join per LSH bucket — near-identical vectors land in
     the same bucket with high probability, so the join is bucket-local.
     Pass `dims` for the bucketed path; plan construction runs NO job.
+
+    Norms are computed ONCE per row in a projection BEFORE the pair join
+    (each row's norm would otherwise be re-derived against every partner:
+    2 of the 3 per-pair array traversals for free) — same IEEE ops, same
+    order, so the rounded cosine is bit-identical to the inline form.
     """
+    prep = df.select(
+        id_col, vec_col,
+        _norm_col(F.col(vec_col).cast("array<double>")).alias("_vnorm"),
+    )
     if exact:
-        a, b = df.alias("a"), df.alias("b")
+        a, b = prep.alias("a"), prep.alias("b")
         join_cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
         joined = a.join(b, join_cond)
     else:
@@ -422,17 +431,17 @@ def embedding_neardup_pairs(
                 "embedding_neardup_pairs(exact=False) requires dims= — "
                 "inferring it would run a driver-side job at plan-build time"
             )
-        bk = df.withColumn("_bucket", sketch_col(F.col(vec_col), dims, n_planes))
+        bk = prep.withColumn("_bucket", sketch_col(F.col(vec_col), dims, n_planes))
         a, b = bk.alias("a"), bk.alias("b")
         joined = a.join(
             b,
             (F.col("a._bucket") == F.col("b._bucket"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-    sim = cosine_sim(
+    sim = _dot(
         F.col(f"a.{vec_col}").cast("array<double>"),
         F.col(f"b.{vec_col}").cast("array<double>"),
-    )
+    ) / (F.col("a._vnorm") * F.col("b._vnorm"))
     return (
         joined.select(
             F.col(f"a.{id_col}").alias("id_a"),
