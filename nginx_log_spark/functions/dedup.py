@@ -668,6 +668,13 @@ def incremental_dedup(
     Iceberg bucket transform) — the anti-join then shuffles ONLY the
     batch's digests into the index's clustering; the 10^12-row corpus
     itself is never touched (plan-asserted in tests/test_plans.py).
+    On top of that, Spark's runtime Bloom-filter injection
+    (spark.sql.optimizer.runtime.bloomFilter.enabled, on by default and
+    in this repo's session) builds a Bloom of the small batch side at run
+    time and prunes the index scan with it once the index side exceeds
+    the 10 GiB application threshold — index rows whose digest can't be
+    in the batch never reach the join, and false positives only cost
+    reads, never a wrong keep/drop.
     """
     dig = new_df.withColumn("digest", F.md5(_norm(F.col(text_col))))
     keep = (

@@ -69,6 +69,8 @@ def _decode_wav(payload: bytes) -> dict:
         if len(body) < size:
             raise ValueError(f"truncated {cid!r} chunk")
         if cid == b"fmt ":
+            if size < 16:
+                raise ValueError(f"fmt chunk too short ({size} bytes)")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body

@@ -22,10 +22,13 @@ import pytest
 
 REPO = Path(__file__).resolve().parent.parent
 
-# one query may cost at most this share of the whole sweep's spark time
+# a query is a hog only if it is BOTH a large share of the sweep AND slow
+# in absolute terms — with a fast total sweep even a 40% share is harmless,
+# and with a slow query a small share doesn't excuse it. The r3 offender
+# (docs_dedup_retain, 1036s = 51% of spark time) fails both prongs.
 MAX_SHARE = 0.30
-# and, at sf0.1, at most this many absolute seconds (driver-timeout margin;
-# the r3 offender was 1036s)
+ABS_OK = {"CORRECTNESS_LOCAL.json": 60.0, "CORRECTNESS_SF01.json": 300.0}
+# hard ceiling at sf0.1 regardless of share (driver-timeout margin)
 MAX_ABS_SF01 = 600.0
 # artifact staleness: at most this many registered queries may be missing
 # from the artifact (new queries land before the next full re-sweep)
@@ -56,10 +59,11 @@ def test_no_single_query_hogs_the_sweep(artifact, abs_cap):
     assert timed, f"{artifact} has no per-query timings"
     total = sum(timed.values())
     worst_q, worst = max(timed.items(), key=lambda kv: kv[1])
-    assert worst <= MAX_SHARE * total, (
+    assert worst <= max(MAX_SHARE * total, ABS_OK[artifact]), (
         f"{artifact}: {worst_q} costs {worst:.0f}s = {worst / total:.0%} of the "
-        f"{total:.0f}s sweep (cap {MAX_SHARE:.0%}) — stage/cache its shared "
-        "inputs or split the composite before the driver sweep times out"
+        f"{total:.0f}s sweep (caps: {MAX_SHARE:.0%} share, {ABS_OK[artifact]:.0f}s "
+        "absolute) — stage/cache its shared inputs or split the composite "
+        "before the driver sweep times out"
     )
     if abs_cap is not None:
         assert worst <= abs_cap, (
