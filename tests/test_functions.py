@@ -774,6 +774,35 @@ def test_prefix_jaccard_equals_exhaustive(spark):
         assert want, f"threshold={t}: vacuous fixture"
 
 
+def test_prefix_jaccard_filter_boundaries(spark):
+    """The PPJoin length/positional filters must never false-prune a pair
+    sitting EXACTLY at the threshold. An all-distinct-substring alphabet
+    string gives |shingles| = len - 4, so A = first 18 chars of B
+    (29 chars) nests the shingle sets with J = 14/25 = 0.56 precisely —
+    and t=0.56 is a float whose t*max(|A|,|B|) product ROUNDS UP
+    (0.56 * 25 = 14.000000000000002), so without the epsilon slack the
+    length filter would drop this qualifying pair. The positional bound
+    also lands exactly on the required overlap (cm=1 + min-suffix 13 =
+    14 = t/(1+t)*39). broadcast_verify must return the identical set."""
+    from nginx_log_spark.functions import ngram_jaccard_pairs, prefix_jaccard_pairs
+
+    t = 0.56
+    assert 14 < t * 25  # the rounding hazard this test pins
+    b_text = "abcdefghijklmnopqrstuvwxyz012"  # 29 chars, 25 distinct 5-grams
+    a_text = b_text[:18]  # 14 distinct 5-grams, all shared
+    rows = [(0, a_text), (1, b_text), (2, "0123456789")]  # doc 2: disjoint
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {(r.id_a, r.id_b): r.jaccard
+             for r in ngram_jaccard_pairs(df, shingle_k=5, threshold=t).collect()}
+    assert (0, 1) in exact and abs(exact[(0, 1)] - t) < 1e-9, exact
+    for bcast in (False, True):
+        fast = {(r.id_a, r.id_b): r.jaccard
+                for r in prefix_jaccard_pairs(
+                    df, shingle_k=5, threshold=t, broadcast_verify=bcast
+                ).collect()}
+        assert fast == exact, f"broadcast_verify={bcast}: {fast} vs {exact}"
+
+
 def test_temperature_resample_flattens_mixture(spark):
     """alpha=1 keeps everything (identity); alpha=0 equalizes expected
     stratum volumes to ~n_min; alpha in between lands in between; the
