@@ -1958,6 +1958,28 @@ SELECT media_id, 'audio' AS media_type, CAST(44 + 2 * n AS INT) AS n_bytes,
 FROM w
 """
 
+# REAL-codec resize branch: Spark nearest-neighbor-resizes genuine binary
+# PPM images (multimodal._resize_ppm, fake=False) to 6x5; the oracle
+# regenerates the resized raster from the synth_ppm_payload integer pixel
+# formula byte = (i*31 + j*7) % 256 through the SAME index map
+# src_j = (((y*h)//5)*w + (x*w)//6)*3 + c, so a header-offset or
+# resampling bug on the Spark side hash-mismatches.
+_PPM_RESIZE_O = """
+WITH p AS (
+  SELECT i, printf('p%05d', i) AS media_id,
+         4 + i % 13 AS w, 3 + i % 7 AS h
+  FROM range(0, 32) t(i)
+)
+SELECT media_id, 'image' AS media_type, CAST(11 + 90 AS INT) AS n_bytes,
+       6 AS width, 5 AS height,
+       md5(array_to_string(
+         [CAST((i * 31 + (((((idx // 18) * h) // 5) * w
+                           + (((idx // 3) % 6) * w) // 6) * 3
+                          + idx % 3) * 7) % 256 AS VARCHAR)
+          for idx in range(0, 90)], ',')) AS checksum
+FROM p
+"""
+
 _MM_DECODE_FRAMES_O = f"""
 SELECT 'decode' AS kind, media_id, media_type, n_bytes, width, height,
        n_frames, -1 AS frame_idx, checksum FROM ({_DECODE_ORACLE})
@@ -1968,6 +1990,9 @@ FROM ({_FRAME_ORACLE})
 UNION ALL
 SELECT 'decode_wav' AS kind, media_id, media_type, n_bytes, width, height,
        n_frames, -1 AS frame_idx, checksum FROM ({_WAV_DECODE_O})
+UNION ALL
+SELECT 'resize_ppm' AS kind, media_id, media_type, n_bytes, width, height,
+       -1 AS n_frames, -1 AS frame_idx, checksum FROM ({_PPM_RESIZE_O})
 """
 
 
@@ -1979,9 +2004,11 @@ def mm_decode_frames(spark, sf):
     fake), 'frame' rows the every-10th-frame sampling plan, and
     'decode_wav' rows the REAL codec path — genuine RIFF/WAVE PCM
     containers parsed by multimodal._decode_wav (fake=False), content
-    checksum over the decoded int16 samples; sentinel -1/'' fill the
-    branch-inapplicable columns (cross-engine null dtypes would break the
-    value hash)."""
+    checksum over the decoded int16 samples — and 'resize_ppm' rows the
+    REAL image-resize path (genuine binary-PPM containers
+    nearest-neighbor-resized to 6x5, checksum over the resized raster);
+    sentinel -1/'' fill the branch-inapplicable columns (cross-engine
+    null dtypes would break the value hash)."""
     dec = mm_decode_meta(spark, sf).select(
         F.lit("decode").alias("kind"), "media_id", "media_type",
         F.col("n_bytes").cast("int").alias("n_bytes"),
@@ -2005,7 +2032,17 @@ def mm_decode_frames(spark, sf):
         F.coalesce("n_frames", F.lit(-1)).cast("int").alias("n_frames"),
         F.lit(-1).cast("int").alias("frame_idx"), "checksum",
     )
-    return dec.unionAll(fr).unionAll(wav)
+    from nginx_log_spark.functions.multimodal import resize_media, synth_ppm_df
+
+    rs = resize_media(synth_ppm_df(spark, 32), 6, 5, fake=False).select(
+        F.lit("resize_ppm").alias("kind"), "media_id", "media_type",
+        F.col("n_bytes").cast("int").alias("n_bytes"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.lit(-1).cast("int").alias("n_frames"),
+        F.lit(-1).cast("int").alias("frame_idx"), "checksum",
+    )
+    return dec.unionAll(fr).unionAll(wav).unionAll(rs)
 
 
 def _feat_oracle_cols() -> str:

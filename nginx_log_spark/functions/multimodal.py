@@ -92,12 +92,9 @@ def _decode_wav(payload: bytes) -> dict:
     }
 
 
-def _decode_ppm(payload: bytes) -> dict:
-    """Real binary-PPM (P6) parse, stdlib only: whitespace/comment-tolerant
-    header scan for width/height/maxval, then the raw RGB plane; checksum
-    over the decoded pixel bytes (content identity)."""
-    import hashlib
-
+def _ppm_header(payload: bytes) -> tuple[int, int, int]:
+    """Whitespace/comment-tolerant P6 header scan. Returns
+    (width, height, raster_offset); raises ValueError on malformed input."""
     if payload[:2] != b"P6":
         raise ValueError("not a binary PPM (P6)")
     fields, pos = [], 2
@@ -118,6 +115,16 @@ def _decode_ppm(payload: bytes) -> dict:
     width, height, maxval = fields
     if maxval != 255:
         raise ValueError(f"only maxval=255 supported, got {maxval}")
+    return width, height, pos
+
+
+def _decode_ppm(payload: bytes) -> dict:
+    """Real binary-PPM (P6) parse, stdlib only: whitespace/comment-tolerant
+    header scan for width/height/maxval, then the raw RGB plane; checksum
+    over the decoded pixel bytes (content identity)."""
+    import hashlib
+
+    width, height, pos = _ppm_header(payload)
     raster = payload[pos : pos + width * height * 3]
     if len(raster) < width * height * 3:
         raise ValueError("truncated PPM raster")
@@ -210,6 +217,122 @@ def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
             yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
 
     return df.mapInPandas(op, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("checksum", T.StringType(), True),
+    ]
+)
+
+
+def _resize_ppm(payload: bytes, out_w: int, out_h: int) -> dict:
+    """Real nearest-neighbor resize of a binary PPM (P6): parse the header
+    via _ppm_header, index the RGB raster with the integer map
+    src = (dst * src_dim) // dst_dim (deterministic, no float sampling),
+    and re-encode a well-formed P6 container. Checksum follows the module
+    convention: md5 over the DECODED resized pixel bytes (content
+    identity), so two containers of the same resized raster collide."""
+    import hashlib
+
+    w, h, pos = _ppm_header(payload)
+    if len(payload) - pos < w * h * 3:
+        raise ValueError("truncated PPM raster")
+    raster = np.frombuffer(
+        payload, dtype=np.uint8, count=w * h * 3, offset=pos
+    ).reshape(h, w, 3)
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    resized = raster[ys][:, xs].tobytes()
+    return {
+        "payload": b"P6\n%d %d\n255\n" % (out_w, out_h) + resized,
+        "checksum": hashlib.md5(
+            ",".join(str(b) for b in resized).encode()
+        ).hexdigest(),
+    }
+
+
+def resize_media(
+    df: DataFrame, out_w: int, out_h: int, fake: bool = True
+) -> DataFrame:
+    """Image resize over the binary payload column, one Arrow batch at a
+    time (the brief's decode/feature/RESIZE/frame-sample quartet). With
+    fake=True the output payload is None and the checksum is a
+    deterministic function of (container md5, out dims) — the Spark-side
+    plumbing without a codec. With fake=False, binary-PPM payloads are
+    REALLY resized (nearest-neighbor, re-encoded P6 — round-trips through
+    _decode_ppm); other formats raise NotImplementedError at the same
+    seam as _decode_bytes, and corrupt containers raise (reject-sink
+    route, never silently faked). Non-image rows pass through untouched
+    at their original dims with a null payload/checksum."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out_rows = []
+            for media_id, media_type, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if media_type != "image":
+                    out_rows.append((media_id, media_type, 0, 0, None, None, None))
+                    continue
+                if fake:
+                    ck = hashlib.md5(
+                        hashlib.md5(bytes(payload)).hexdigest().encode()
+                        + b"|%dx%d" % (out_w, out_h)
+                    ).hexdigest()
+                    out_rows.append(
+                        (media_id, media_type, out_w, out_h, None, None, ck)
+                    )
+                    continue
+                r = _resize_ppm(bytes(payload), out_w, out_h)
+                out_rows.append(
+                    (media_id, media_type, out_w, out_h,
+                     bytearray(r["payload"]), len(r["payload"]), r["checksum"])
+                )
+            out = pd.DataFrame(
+                out_rows,
+                columns=["media_id", "media_type", "width", "height",
+                         "payload", "n_bytes", "checksum"],
+            )
+            out["n_bytes"] = out["n_bytes"].astype("Int64")
+            yield out
+
+    return df.mapInPandas(op, RESIZED_SCHEMA)
+
+
+def synth_ppm_payload(i: int, w: int | None = None, h: int | None = None) -> bytes:
+    """A REAL binary-PPM (P6) image for row i: w = 4 + i % 13,
+    h = 3 + i % 7 (unless pinned), pixel byte j = (i*31 + j*7) % 256 —
+    pure integer arithmetic, exactly regenerable by an oracle."""
+    w = w if w is not None else 4 + i % 13
+    h = h if h is not None else 3 + i % 7
+    raster = bytes(((i * 31 + j * 7) % 256) for j in range(w * h * 3))
+    return b"P6\n%d %d\n255\n" % (w, h) + raster
+
+
+def synth_ppm_df(spark, n: int = 32) -> DataFrame:
+    """Deterministic REAL-PPM media table (media_type='image') for the
+    real-codec decode/resize paths."""
+    rows = []
+    for i in range(n):
+        payload = synth_ppm_payload(i)
+        rows.append(
+            {
+                "media_id": f"p{i:05d}",
+                "media_type": "image",
+                "payload": bytearray(payload),
+                "n_bytes": len(payload),
+            }
+        )
+    return spark.createDataFrame(pd.DataFrame(rows), schema=MEDIA_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:

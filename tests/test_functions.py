@@ -408,6 +408,65 @@ def test_multimodal_real_ppm_decode(spark):
         _decode_bytes(ppm[:-1], "image", fake=False)
 
 
+def test_multimodal_real_resize(spark):
+    """REAL resize path: nearest-neighbor PPM resize through mapInPandas —
+    output pixels match the numpy reference map src=(dst*src_dim)//dst_dim,
+    the re-encoded container round-trips through the real decoder, and an
+    identity resize is a pixel-exact no-op. Includes a 255-wide image so a
+    header scan that grepped for the maxval literal would mis-place the
+    raster."""
+    import hashlib
+
+    import numpy as np
+
+    from nginx_log_spark.functions.multimodal import (
+        _decode_bytes,
+        _resize_ppm,
+        resize_media,
+        synth_ppm_df,
+        synth_ppm_payload,
+    )
+
+    out = resize_media(synth_ppm_df(spark, 10), 6, 5, fake=False).toPandas()
+    assert len(out) == 10
+    for r in out.itertuples():
+        i = int(r.media_id[1:])
+        src = synth_ppm_payload(i)
+        w, h = 4 + i % 13, 3 + i % 7
+        raster = np.frombuffer(src[src.index(b"255\n") + 4 :], dtype=np.uint8)
+        raster = raster.reshape(h, w, 3)
+        want = raster[(np.arange(5) * h) // 5][:, (np.arange(6) * w) // 6]
+        dec = _decode_bytes(bytes(r.payload), "image", fake=False)
+        assert (dec["width"], dec["height"]) == (6, 5)
+        want_ck = hashlib.md5(
+            ",".join(str(b) for b in want.tobytes()).encode()
+        ).hexdigest()
+        assert r.checksum == want_ck and dec["checksum"] == want_ck
+    # identity resize = pixel-exact no-op
+    p = synth_ppm_payload(7, w=9, h=6)
+    ident = _resize_ppm(p, 9, 6)
+    assert ident["checksum"] == _decode_bytes(p, "image", fake=False)["checksum"]
+    # width=255: the maxval literal appears in the dims — header scan must
+    # still find the raster at the right offset
+    wide = synth_ppm_payload(1, w=255, h=2)
+    up = _resize_ppm(wide, 10, 2)
+    src_raster = np.frombuffer(
+        wide[wide.index(b"255 2\n255\n") + len(b"255 2\n255\n") :], dtype=np.uint8
+    ).reshape(2, 255, 3)
+    want = src_raster[:, (np.arange(10) * 255) // 10]
+    assert up["checksum"] == hashlib.md5(
+        ",".join(str(b) for b in want.tobytes()).encode()
+    ).hexdigest()
+    # corrupt container -> hard error; unsupported format -> declared seam
+    with pytest.raises(ValueError):
+        _resize_ppm(p[:-1], 4, 4)
+    fake = resize_media(synth_ppm_df(spark, 4), 3, 3, fake=True).toPandas()
+    assert fake.payload.isna().all() and fake.checksum.notna().all()
+    fake2 = resize_media(synth_ppm_df(spark, 4), 3, 3, fake=True).toPandas()
+    assert (fake.sort_values("media_id").checksum.to_numpy()
+            == fake2.sort_values("media_id").checksum.to_numpy()).all()
+
+
 def test_repetition_stats_known_values(spark):
     from nginx_log_spark.functions import repetition_stats
 
