@@ -229,6 +229,21 @@ def _group_queries(spark, group: str) -> dict[str, float]:
         queries["docs_minhash_lsh_md5_parity"] = _timed(
             lambda: q_minhash("md5_sliced"), "docs_minhash_lsh_md5_parity"
         )
+
+        def q_prefix_jaccard():
+            # round-4 exact all-pairs similarity join (Bayardo 2007 +
+            # PPJoin filters): t=0.7 = the production near-dup threshold;
+            # broadcast verify fits this doc count
+            from nginx_log_spark.functions import prefix_jaccard_pairs
+
+            docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            prefix_jaccard_pairs(
+                docs, shingle_k=5, threshold=0.7, broadcast_verify=True
+            ).count()
+
+        queries["docs_prefix_jaccard_t07"] = _timed(
+            q_prefix_jaccard, "docs_prefix_jaccard_t07"
+        )
         # emb_cosine_topk became a two-variant composite in round 3
         # (pretrained dense + hashed TF-IDF sparse retrieval); fresh ledger
         # key so min-over-sessions never mixes the old single-variant runs
