@@ -1220,7 +1220,7 @@ common AS (
 SELECT id_a, id_b,
   round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
 FROM common JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= 0.3
+WHERE n_common / (sa.n + sb.n - n_common) >= 0.3
 """
 
 
@@ -1282,7 +1282,7 @@ common AS (
 pairs AS (
   SELECT id_a, id_b FROM common
   JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-  WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= 0.7
+  WHERE n_common / (sa.n + sb.n - n_common) >= 0.7
 )
 SELECT d.doc_id, d.source FROM documents d
 WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id_b = d.doc_id)
@@ -1401,7 +1401,7 @@ common AS (
 cpairs AS (
   SELECT id_a, id_b FROM common
   JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-  WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= 0.7
+  WHERE n_common / (sa.n + sb.n - n_common) >= 0.7
 )"""
 
 _CC_KEEP_O = f"""
@@ -1537,7 +1537,20 @@ def docs_dedup_retain(spark, sf):
     incr = incremental_dedup(
         docs.filter(F.col("doc_id") % 5 == 0), hist_digests
     ).select(F.lit("incremental").alias("method"), "doc_id", "source")
-    return ng.unionAll(lsh).unionAll(cc).unionAll(sd).unionAll(incr)
+    out = ng.unionAll(lsh).unionAll(cc).unionAll(sd).unionAll(incr)
+    # Materialize the composite ONCE (small: method/doc_id/source rows),
+    # then release the shared caches — otherwise the persisted docs+pairs
+    # blocks linger in executor memory for the rest of the graded sweep,
+    # squeezing cache available to later queries. The returned frame is a
+    # scan of the materialized result, so re-collection never re-derives
+    # the pair join from the unpersisted inputs.
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="nls_dedup_retain_") + "/out"
+    out.write.mode("overwrite").parquet(path)
+    docs.unpersist()
+    pairs.unpersist()
+    return spark.read.parquet(path)
 
 
 _SIMHASH64_ORACLE = rf"""
@@ -2310,6 +2323,31 @@ def stream_hourly_counts_q(spark, sf):
         stream, f"{base}/idx", f"{base}/kept", f"{base}/ckpt_dedup"
     ).start()
     q2.awaitTermination(600)
+    # Guard the epoch_id == (doc_id % 4) equivalence the oracle relies on:
+    # it holds only if the file source really replayed one residue-class
+    # file per micro-batch in mtime order. If coarse mtime granularity (or
+    # a file-source batching change) ever merges/reorders files, fail HERE
+    # with a harness error instead of grading red on a confusing hash
+    # mismatch downstream.
+    probe = (
+        spark.read.parquet(f"{base}/kept")
+        .groupBy("epoch")
+        .agg(
+            F.count_distinct((F.col("doc_id") % 4)).alias("n_residues"),
+            F.min(F.col("doc_id") % 4).alias("residue"),
+        )
+        .collect()  # driver-sized: one row per micro-batch (4)
+    )
+    epochs = {int(r["epoch"]): (int(r["n_residues"]), int(r["residue"])) for r in probe}
+    if sorted(epochs) != [0, 1, 2, 3] or any(
+        nr != 1 or res != e for e, (nr, res) in epochs.items()
+    ):
+        raise RuntimeError(
+            "stream_dedup harness: micro-batch i did not receive exactly "
+            f"residue class i (epoch -> (n_residues, residue) = {epochs}); "
+            "file-source batching diverged from the one-file-per-trigger, "
+            "mtime-ordered replay the oracle assumes"
+        )
     kept = spark.read.parquet(f"{base}/kept").select(
         F.lit("stream_dedup").alias("kind"),
         F.col("doc_id").cast("string").alias("key"),

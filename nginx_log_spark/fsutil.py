@@ -59,9 +59,19 @@ def read_parquet_or_empty(spark, path: str, schema: Any):
     except Exception as exc:  # narrow: only the no-schema empty-dir case
         from pyspark.errors import AnalysisException
 
-        msg = str(exc)
-        if isinstance(exc, AnalysisException) and (
-            "UNABLE_TO_INFER_SCHEMA" in msg or "Unable to infer schema" in msg
-        ):
-            return spark.createDataFrame([], schema)
+        if isinstance(exc, AnalysisException):
+            # Prefer the stable error CLASS over message wording (which
+            # Spark rewords across versions); fall back to the message
+            # substrings only when no error class is attached. Matching
+            # stays tight: a DIFFERENT attached class always re-raises.
+            try:
+                err_class = exc.getErrorClass()
+            except Exception:
+                err_class = None
+            msg = str(exc)
+            if err_class == "UNABLE_TO_INFER_SCHEMA" or (
+                err_class is None
+                and ("UNABLE_TO_INFER_SCHEMA" in msg or "Unable to infer schema" in msg)
+            ):
+                return spark.createDataFrame([], schema)
         raise

@@ -568,15 +568,16 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("n_b"))
+    # threshold on the UNROUNDED ratio; round(.., 6) only on the emitted
+    # column — filtering on the rounded value would admit pairs whose true
+    # J sits in [t - 5e-7, t) (rounds up across the boundary), making the
+    # result depend on display precision rather than the predicate J >= t
+    raw = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
         common.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .filter(raw >= threshold)
+        .select("id_a", "id_b", F.round(raw, 6).alias("jaccard"))
     )
 
 
@@ -587,11 +588,16 @@ def prefix_jaccard_pairs(
     shingle_k: int = 5,
     threshold: float = 0.7,
     broadcast_verify: bool = False,
+    freq_head_bcast: int | None = 4096,
 ) -> DataFrame:
     """Exact shingle-Jaccard pairs at >= threshold via PREFIX FILTERING
     (the all-pairs similarity join of Bayardo et al., WWW 2007 / the
     PPJoin family) — the same result set as ngram_jaccard_pairs' full
     shingle self-join, with quadratically less join work.
+
+    Both this function and ngram_jaccard_pairs threshold on the UNROUNDED
+    Jaccard and round only the emitted column, so the identity between
+    them is exact even for a pair whose true J sits within 5e-7 of t.
 
     Why it is exact: J(A,B) >= t implies |A∩B| >= t*|A| (and t*|B|), so
     under ANY global total order on shingles a qualifying pair must share
@@ -635,10 +641,23 @@ def prefix_jaccard_pairs(
     when ``df`` is a full web-scale corpus: there the candidate set is
     sparse and the pairs-bounded shuffle is the right plan.
 
-    Scale shape: one explode + vocab-sized groupBy for frequencies, a
-    per-doc window over uniform id keys for ranks, an equi-join on prefix
-    shingles only (~(1-t) of the original volume, rare-first), and a
-    |candidates|-bounded verify. No all-pairs step anywhere."""
+    ``freq_head_bcast``: the exploded-rows -> frequency annotation join
+    shuffles on the shingle key, which is Zipf-skewed — a stop-shingle
+    ("the ", " and ") present in most docs puts its entire row mass in
+    one shuffle partition, the classic straggler at 100x scale. With
+    ``freq_head_bcast = H`` the H highest-df shingles (deterministic:
+    df desc, shingle asc; driver-bounded collect of <= H tiny rows) are
+    BROADCAST and annotated map-side, and only the tail — where every
+    key's row count is <= the head's minimum df by construction — takes
+    the shuffle join. The _df values are identical either way, so the
+    result is exactly unchanged; set None/0 to restore the single
+    shuffle join (AQE skew-split then handles moderate skew at runtime).
+
+    Scale shape: one explode + vocab-sized groupBy for frequencies
+    (head/tail split as above), a per-doc window over uniform id keys
+    for ranks, an equi-join on prefix shingles only (~(1-t) of the
+    original volume, rare-first), and a |candidates|-bounded verify. No
+    all-pairs step anywhere."""
     from pyspark.sql import Window
 
     sh = with_shingles(df.select(id_col, text_col), text_col, shingle_k).select(
@@ -646,7 +665,25 @@ def prefix_jaccard_pairs(
     )
     ex = sh.select(id_col, F.size("_sh").alias("_n"), F.explode("_sh").alias("_s"))
     freq = ex.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
-    ranked = ex.join(freq, "_s").withColumn(
+    if freq_head_bcast:
+        spark = df.sparkSession
+        # driver-bounded by construction: <= freq_head_bcast (shingle, df)
+        # rows — the Zipf head is tiny relative to any corpus vocabulary
+        head_rows = (
+            freq.orderBy(F.desc("_df"), F.asc("_s")).limit(freq_head_bcast).collect()
+        )
+        head = spark.createDataFrame(
+            [(r["_s"], r["_df"]) for r in head_rows], "_s string, _df long"
+        )
+        hot = ex.join(F.broadcast(head), "_s")  # map-side: no hot-key shuffle
+        tail_freq = freq.join(F.broadcast(head.select("_s")), "_s", "left_anti")
+        cold = ex.join(F.broadcast(head.select("_s")), "_s", "left_anti").join(
+            tail_freq, "_s"
+        )
+        annotated = hot.unionByName(cold)
+    else:
+        annotated = ex.join(freq, "_s")
+    ranked = annotated.withColumn(
         "_rk",
         F.row_number().over(
             Window.partitionBy(id_col).orderBy(F.asc("_df"), F.asc("_s"))
@@ -692,10 +729,14 @@ def prefix_jaccard_pairs(
         sa, sb = F.broadcast(sa), F.broadcast(sb)
     joined = cands.join(sa, "id_a").join(sb, "id_b")
     common = F.size(F.array_intersect("_sa", "_sb"))
-    jac = F.round(common / (F.size("_sa") + F.size("_sb") - common), 6)
+    # verify on the UNROUNDED ratio (identical expression to
+    # ngram_jaccard_pairs, so the "provably identical result set" claim
+    # holds exactly, not modulo 6-dp rounding at the threshold boundary);
+    # round(.., 6) only shapes the emitted column
+    raw = common / (F.size("_sa") + F.size("_sb") - common)
     return (
-        joined.select("id_a", "id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        joined.filter(raw >= threshold)
+        .select("id_a", "id_b", F.round(raw, 6).alias("jaccard"))
     )
 
 

@@ -862,6 +862,33 @@ def test_prefix_jaccard_filter_boundaries(spark):
         assert fast == exact, f"broadcast_verify={bcast}: {fast} vs {exact}"
 
 
+def test_prefix_jaccard_freq_head_parity_under_skew(spark):
+    """Stop-shingle skew hardening (freq_head_bcast): on an adversarial
+    fixture where EVERY doc shares the same boilerplate (those shingles'
+    df = n, maximal skew in the frequency-annotation join), the
+    broadcast-head/tail-shuffle split must return exactly the single
+    shuffle join's pairs — _df values are identical either way — for a
+    head cap smaller than, equal to, and larger than the hot vocabulary."""
+    from nginx_log_spark.functions import prefix_jaccard_pairs
+
+    boiler = "common boilerplate header shared by every single document here"
+    rows = [(i, f"doc number {i} unique payload u{i}a u{i}b u{i}c " + boiler)
+            for i in range(40)]
+    rows += [(100 + i, rows[i][1]) for i in range(10)]  # identical clones
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {(r.id_a, r.id_b): r.jaccard
+            for r in prefix_jaccard_pairs(
+                df, shingle_k=5, threshold=0.7, freq_head_bcast=None
+            ).collect()}
+    assert want, "vacuous fixture"
+    for cap in (4, 64, 100_000):
+        got = {(r.id_a, r.id_b): r.jaccard
+               for r in prefix_jaccard_pairs(
+                   df, shingle_k=5, threshold=0.7, freq_head_bcast=cap
+               ).collect()}
+        assert got == want, f"freq_head_bcast={cap}"
+
+
 def test_temperature_resample_flattens_mixture(spark):
     """alpha=1 keeps everything (identity); alpha=0 equalizes expected
     stratum volumes to ~n_min; alpha in between lands in between; the

@@ -246,6 +246,20 @@ def test_prefix_jaccard_is_equi_join_on_prefix(spark, docs):
     assert "array_intersect" in p  # bounded verify, not a re-join on shingles
 
 
+def test_prefix_jaccard_freq_head_joins_broadcast(spark, docs):
+    """Stop-shingle skew hardening: with freq_head_bcast on (default), the
+    Zipf-head frequency annotation must be BROADCAST joins (hot inner +
+    the two anti-join exclusions) so the skewed shingle key never routes
+    its row mass through one shuffle partition; only the bounded-df tail
+    takes a shuffle join."""
+    from nginx_log_spark.functions import prefix_jaccard_pairs
+
+    p = plan(prefix_jaccard_pairs(docs, shingle_k=5, threshold=0.7,
+                                  freq_head_bcast=64))
+    # head annotate + ex anti + freq anti, all hinted broadcast
+    assert p.count("BroadcastHashJoin") >= 3, p
+
+
 def test_asof_join_single_window_no_range_join(spark, sf_dir):
     """The as-of join must be union + ONE carry-forward window — no
     range-condition join (which Spark can only execute as a nested-loop
