@@ -1993,6 +1993,29 @@ SELECT media_id, 'image' AS media_type, CAST(11 + 90 AS INT) AS n_bytes,
 FROM p
 """
 
+# REAL-codec PNG branch: Spark inflates + unfilters genuine PNG containers
+# (multimodal._decode_png — chunk walk with CRC32 verification, stored-
+# deflate IDAT through zlib.decompress, per-scanline None/Sub/Up/Average/
+# Paeth unfilter; RGB even rows, RGBA odd). The oracle regenerates the
+# DECODED raster from synth_png_payload's integer pixel formula
+# byte_j = (i*31 + j*7) % 256 and the closed-form container size
+# 68 + h*(1 + w*bpp), so a chunk-walk, inflate, or unfilter bug on the
+# Spark side hash-mismatches.
+_PNG_DECODE_O = """
+WITH p AS (
+  SELECT i, printf('g%05d', i) AS media_id,
+         4 + i % 9 AS w, 3 + i % 5 AS h,
+         CASE WHEN i % 2 = 0 THEN 3 ELSE 4 END AS bpp
+  FROM range(0, 32) t(i)
+)
+SELECT media_id, 'image' AS media_type,
+       CAST(68 + h * (1 + w * bpp) AS INT) AS n_bytes,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       md5(array_to_string([CAST((i * 31 + j * 7) % 256 AS VARCHAR)
+                            for j in range(0, w * h * bpp)], ',')) AS checksum
+FROM p
+"""
+
 _MM_DECODE_FRAMES_O = f"""
 SELECT 'decode' AS kind, media_id, media_type, n_bytes, width, height,
        n_frames, -1 AS frame_idx, checksum FROM ({_DECODE_ORACLE})
@@ -2006,6 +2029,9 @@ SELECT 'decode_wav' AS kind, media_id, media_type, n_bytes, width, height,
 UNION ALL
 SELECT 'resize_ppm' AS kind, media_id, media_type, n_bytes, width, height,
        -1 AS n_frames, -1 AS frame_idx, checksum FROM ({_PPM_RESIZE_O})
+UNION ALL
+SELECT 'decode_png' AS kind, media_id, media_type, n_bytes, width, height,
+       -1 AS n_frames, -1 AS frame_idx, checksum FROM ({_PNG_DECODE_O})
 """
 
 
@@ -2020,8 +2046,12 @@ def mm_decode_frames(spark, sf):
     checksum over the decoded int16 samples — and 'resize_ppm' rows the
     REAL image-resize path (genuine binary-PPM containers
     nearest-neighbor-resized to 6x5, checksum over the resized raster);
-    sentinel -1/'' fill the branch-inapplicable columns (cross-engine
-    null dtypes would break the value hash)."""
+    and 'decode_png' rows the REAL compressed-image path — genuine PNG
+    containers (CRC-verified chunk walk, zlib-inflated IDAT, per-scanline
+    None/Sub/Up/Average/Paeth unfilter; RGB and RGBA) decoded by
+    multimodal._decode_png (fake=False), checksum over the decoded
+    raster. Sentinel -1/'' fill the branch-inapplicable columns
+    (cross-engine null dtypes would break the value hash)."""
     dec = mm_decode_meta(spark, sf).select(
         F.lit("decode").alias("kind"), "media_id", "media_type",
         F.col("n_bytes").cast("int").alias("n_bytes"),
@@ -2055,7 +2085,17 @@ def mm_decode_frames(spark, sf):
         F.lit(-1).cast("int").alias("n_frames"),
         F.lit(-1).cast("int").alias("frame_idx"), "checksum",
     )
-    return dec.unionAll(fr).unionAll(wav).unionAll(rs)
+    from nginx_log_spark.functions.multimodal import synth_png_df
+
+    png = decode_media(synth_png_df(spark, 32), fake=False).select(
+        F.lit("decode_png").alias("kind"), "media_id", "media_type",
+        F.col("n_bytes").cast("int").alias("n_bytes"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.lit(-1).cast("int").alias("n_frames"),
+        F.lit(-1).cast("int").alias("frame_idx"), "checksum",
+    )
+    return dec.unionAll(fr).unionAll(wav).unionAll(rs).unionAll(png)
 
 
 def _feat_oracle_cols() -> str:

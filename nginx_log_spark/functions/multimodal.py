@@ -138,22 +138,138 @@ def _decode_ppm(payload: bytes) -> dict:
     }
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): pick whichever of left/up/
+    up-left is closest to a+b-c, ties resolved left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytes:
+    """Reverse the per-scanline PNG filters (None/Sub/Up/Average/Paeth)
+    over the inflated IDAT stream: each scanline is 1 filter-type byte +
+    width*bpp filtered bytes. Raises ValueError on a bad filter type or a
+    length mismatch."""
+    stride = width * bpp
+    if len(raw) != height * (1 + stride):
+        raise ValueError(
+            f"IDAT inflates to {len(raw)} bytes, expected {height * (1 + stride)}"
+        )
+    out = bytearray(height * stride)
+    prior = bytes(stride)
+    for y in range(height):
+        base = y * (1 + stride)
+        ftype = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prior[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + ((left + prior[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                upleft = prior[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + _paeth(left, prior[x], upleft)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype} on scanline {y}")
+        out[y * stride : (y + 1) * stride] = line
+        prior = bytes(line)
+    return bytes(out)
+
+
+def _decode_png(payload: bytes) -> dict:
+    """Real PNG parse, stdlib only (zlib): signature check, chunk walk
+    with per-chunk CRC32 verification, IHDR constraints (8-bit, color
+    type 2 RGB / 6 RGBA, deflate, adaptive filters, no interlace), IDAT
+    concatenation + inflate, per-scanline unfilter. Checksum follows the
+    module convention — md5 over the DECODED pixel bytes (content
+    identity: a recompressed or refiltered container of the same raster
+    collides). Raises ValueError on malformed containers — corrupt media
+    must be routed to a reject sink, never silently faked."""
+    import hashlib
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG container")
+    pos, ihdr, idat, saw_iend = 8, None, bytearray(), False
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack_from(">I", payload, pos), payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) < length or pos + 12 + length > len(payload):
+            raise ValueError(f"truncated {ctype!r} chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC on {ctype!r} chunk")
+        if ctype == b"IHDR":
+            if ihdr is not None:
+                raise ValueError("duplicate IHDR")
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            saw_iend = True
+            break
+        pos += 12 + length
+    if ihdr is None or not idat or not saw_iend:
+        raise ValueError("missing IHDR/IDAT/IEND chunk")
+    width, height, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in (2, 6):
+        raise ValueError(
+            f"only 8-bit RGB/RGBA PNG supported, got depth={depth} color={color}"
+        )
+    if comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("unsupported PNG compression/filter/interlace method")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt IDAT stream: {exc}") from exc
+    pixels = _png_unfilter(raw, width, height, 3 if color == 2 else 4)
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": None,
+        "checksum": hashlib.md5(
+            ",".join(str(b) for b in pixels).encode()
+        ).hexdigest(),
+    }
+
+
 def _decode_bytes(payload: bytes, media_type: str, fake: bool) -> dict:
     """THE codec seam. fake=True derives deterministic pseudo-metadata from
     the payload bytes; fake=False really decodes the zero-dependency
-    containers (RIFF/WAVE PCM, binary PPM) and raises NotImplementedError
-    for formats that need an external codec (PIL / soundfile / pyav would
-    plug in here)."""
+    containers (RIFF/WAVE PCM, binary PPM, 8-bit RGB/RGBA PNG) and raises
+    NotImplementedError for formats that need an external codec
+    (PIL / soundfile / pyav would plug in here)."""
     if not fake:
         payload = bytes(payload)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return _decode_wav(payload)
         if payload[:2] == b"P6":
             return _decode_ppm(payload)
+        if payload[:8] == _PNG_SIG:
+            return _decode_png(payload)
         raise NotImplementedError(
-            "real decode supports RIFF/WAVE PCM and binary PPM; other "
-            "formats (JPEG/PNG/MP4/...) need PIL/soundfile/pyav, which "
-            "are not available in this environment"
+            "real decode supports RIFF/WAVE PCM, binary PPM, and 8-bit "
+            "RGB/RGBA PNG; other formats (JPEG/MP4/...) need "
+            "PIL/soundfile/pyav, which are not available in this "
+            "environment"
         )
     import hashlib
 
@@ -327,6 +443,97 @@ def synth_ppm_df(spark, n: int = 32) -> DataFrame:
         rows.append(
             {
                 "media_id": f"p{i:05d}",
+                "media_type": "image",
+                "payload": bytearray(payload),
+                "n_bytes": len(payload),
+            }
+        )
+    return spark.createDataFrame(pd.DataFrame(rows), schema=MEDIA_SCHEMA)
+
+
+def _png_filter_line(
+    line: bytes, prior: bytes, bpp: int, ftype: int
+) -> bytes:
+    """Apply PNG filter `ftype` to one scanline (the ENCODE direction —
+    the exact inverse of _png_unfilter's reconstruction)."""
+    stride = len(line)
+    out = bytearray(stride)
+    for x in range(stride):
+        left = line[x - bpp] if x >= bpp else 0
+        up = prior[x]
+        upleft = prior[x - bpp] if x >= bpp else 0
+        pred = (
+            0 if ftype == 0
+            else left if ftype == 1
+            else up if ftype == 2
+            else (left + up) >> 1 if ftype == 3
+            else _paeth(left, up, upleft)
+        )
+        out[x] = (line[x] - pred) & 0xFF
+    return bytes(out)
+
+
+def synth_png_payload(i: int, w: int | None = None, h: int | None = None) -> bytes:
+    """A REAL PNG image for row i: w = 4 + i % 9, h = 3 + i % 5 (unless
+    pinned), RGB for even i / RGBA for odd i, decoded pixel byte j =
+    (i*31 + j*7) % 256 — pure integer arithmetic, exactly regenerable by
+    an oracle. The encoder is spec-real: scanline y carries filter type
+    y % 5 (exercising None/Sub/Up/Average/Paeth on every image tall
+    enough), chunks carry genuine CRC32s, and the IDAT zlib stream uses a
+    single STORED deflate block so the container size is the closed form
+    68 + h*(1 + w*bpp) bytes (n_bytes stays SQL-computable; the decoder
+    inflates it through zlib.decompress exactly as it would a compressed
+    stream)."""
+    import struct
+    import zlib
+
+    w = w if w is not None else 4 + i % 9
+    h = h if h is not None else 3 + i % 5
+    color = 2 if i % 2 == 0 else 6
+    bpp = 3 if color == 2 else 4
+    pixels = bytes(((i * 31 + j * 7) % 256) for j in range(w * h * bpp))
+    stride = w * bpp
+    raw = bytearray()
+    prior = bytes(stride)
+    for y in range(h):
+        line = pixels[y * stride : (y + 1) * stride]
+        ftype = y % 5
+        raw.append(ftype)
+        raw += _png_filter_line(line, prior, bpp, ftype)
+        prior = line
+    data = bytes(raw)
+    assert len(data) <= 65535  # single stored deflate block
+    zstream = (
+        b"\x78\x01"  # zlib header (deflate, 32K window, no preset dict)
+        + b"\x01"  # BFINAL=1, BTYPE=00 (stored)
+        + struct.pack("<HH", len(data), len(data) ^ 0xFFFF)
+        + data
+        + struct.pack(">I", zlib.adler32(data) & 0xFFFFFFFF)
+    )
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+        + chunk(b"IDAT", zstream)
+        + chunk(b"IEND", b"")
+    )
+
+
+def synth_png_df(spark, n: int = 32) -> DataFrame:
+    """Deterministic REAL-PNG media table (media_type='image') for the
+    real-codec decode path and its driver oracle."""
+    rows = []
+    for i in range(n):
+        payload = synth_png_payload(i)
+        rows.append(
+            {
+                "media_id": f"g{i:05d}",
                 "media_type": "image",
                 "payload": bytearray(payload),
                 "n_bytes": len(payload),

@@ -350,9 +350,83 @@ def test_multimodal_decode_and_features(spark):
 def test_multimodal_real_decode_raises(spark):
     from nginx_log_spark.functions.multimodal import _decode_bytes
 
-    # unrecognized container -> the declared external-codec seam
+    # unrecognized container (JPEG magic) -> the declared external-codec seam
     with pytest.raises(NotImplementedError):
-        _decode_bytes(b"\x89PNG\r\n\x1a\n", "image", fake=False)
+        _decode_bytes(b"\xff\xd8\xff\xe0\x00\x10JFIF", "image", fake=False)
+
+
+def test_multimodal_real_png_decode(spark):
+    """REAL compressed-image path: genuine PNG containers decoded
+    end-to-end through the mapInPandas operator — CRC-verified chunk walk,
+    zlib inflate, per-scanline unfilter across all five filter types, RGB
+    and RGBA — checksum over the decoded raster; a recompressed container
+    of the same raster collides (content identity); corrupt containers
+    (truncation, CRC flip, bad filter type, short IDAT) raise."""
+    import hashlib
+    import struct
+    import zlib
+
+    from nginx_log_spark.functions.multimodal import (
+        _decode_bytes,
+        _decode_png,
+        decode_media,
+        synth_png_df,
+        synth_png_payload,
+    )
+
+    dec = decode_media(synth_png_df(spark, 12), fake=False).toPandas()
+    assert len(dec) == 12
+    for r in dec.itertuples():
+        i = int(r.media_id[1:])
+        w, h = 4 + i % 9, 3 + i % 5
+        bpp = 3 if i % 2 == 0 else 4
+        assert (r.width, r.height) == (w, h) and pd.isna(r.n_frames)
+        want = hashlib.md5(
+            ",".join(str((i * 31 + j * 7) % 256) for j in range(w * h * bpp)).encode()
+        ).hexdigest()
+        assert r.checksum == want
+    # a tall image exercises every filter type (scanline y uses y % 5)
+    tall = synth_png_payload(2, w=6, h=11)
+    d = _decode_png(tall)
+    assert (d["width"], d["height"]) == (6, 11)
+    # container identity != content identity: recompress the filtered
+    # stream at zlib level 9 -> same checksum
+    pos, parts = 8, {}
+    while pos + 8 <= len(tall):
+        ln = struct.unpack_from(">I", tall, pos)[0]
+        parts[tall[pos + 4 : pos + 8]] = tall[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+
+    def chunk(ct, body):
+        return (struct.pack(">I", len(body)) + ct + body
+                + struct.pack(">I", zlib.crc32(ct + body) & 0xFFFFFFFF))
+
+    z9 = tall[:8] + chunk(b"IHDR", parts[b"IHDR"]) + chunk(
+        b"IDAT", zlib.compress(zlib.decompress(parts[b"IDAT"]), 9)
+    ) + chunk(b"IEND", b"")
+    assert len(z9) != len(tall)  # genuinely a different container
+    assert _decode_png(z9)["checksum"] == d["checksum"]
+    # corrupt containers -> hard errors, never silent fakes
+    p = synth_png_payload(5)
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_bytes(p[:-1], "image", fake=False)
+    flip = bytearray(p)
+    flip[40] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        _decode_png(bytes(flip))
+    raw = zlib.decompress(parts[b"IDAT"])
+    badf = bytearray(raw)
+    badf[0] = 9  # filter type 9 does not exist
+    bad_png = tall[:8] + chunk(b"IHDR", parts[b"IHDR"]) + chunk(
+        b"IDAT", zlib.compress(bytes(badf))
+    ) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="filter type"):
+        _decode_png(bad_png)
+    short = tall[:8] + chunk(b"IHDR", parts[b"IHDR"]) + chunk(
+        b"IDAT", zlib.compress(raw[:-3])
+    ) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="inflates"):
+        _decode_png(short)
 
 
 def test_multimodal_real_wav_decode(spark):
