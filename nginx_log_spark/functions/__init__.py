@@ -78,6 +78,7 @@ from nginx_log_spark.functions.bpe import (  # noqa: F401
     apply_bpe,
     encode_word,
     learn_bpe,
+    learn_bpe_distributed,
 )
 from nginx_log_spark.functions.textstats import (  # noqa: F401
     bigram_logprob_score,

@@ -22,12 +22,18 @@ Scale shape
 - learn compresses the corpus to its UNIQUE-WORD histogram first (one
   groupBy; Zipf makes this tiny relative to the corpus — exactly why
   reference BPE trainers operate on word counts, not running text).
-  Each merge round then runs on the driver over that histogram — the
-  standard design (HuggingFace/SentencePiece train in one process over
-  word counts); Spark's job is the corpus-wide histogram, which is the
-  only data-sized step. The histogram can be capped (max_words) for a
-  100 TB corpus: rare-tail words contribute O(1) pair counts each and
-  real trainers subsample exactly this way.
+  Two merge-round engines share that histogram, pinned to identical
+  output:
+  * learn_bpe — rounds run on the driver over the collected histogram,
+    the standard single-process design (HuggingFace/SentencePiece);
+    max_words caps driver memory deterministically, and rare-tail words
+    contribute O(1) pair counts each, so real trainers subsample exactly
+    this way. Contract: driver state is bounded by the cap, NOT by
+    corpus size.
+  * learn_bpe_distributed — every round is JVM-side Spark work (pair
+    explode + groupBy argmax + aggregate()-fold fuse), the histogram
+    never touches the driver: the scale path when an uncapped vocabulary
+    must survive production 32k-50k merges.
 - apply is embarrassingly parallel: mapInPandas over docs, merges
   broadcast once per executor (closure capture), per-batch word cache
   (Zipf again: the hot words' merge loops run once per BATCH, not once
@@ -139,6 +145,134 @@ def learn_bpe(
             k = tuple(out)
             new_hist[k] = new_hist.get(k, 0) + cnt
         hist = new_hist
+    return merges
+
+
+def learn_bpe_distributed(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    max_words: int | None = None,
+    checkpoint_every: int = 1,
+) -> list[tuple[str, str]]:
+    """``learn_bpe`` with every merge round DISTRIBUTED — the scale path
+    when the unique-word histogram does NOT fit on the driver (so no
+    ``max_words`` cap is forced on you at production 32k-50k-merge
+    vocabularies).
+
+    The histogram lives as a DataFrame of (symbols array<string>, cnt)
+    and never materializes on the driver. Each round is pure JVM work:
+
+    1. adjacent-pair counts: a transform/slice struct-pair explode over
+       the symbol arrays + one groupBy sum (map-side partial agg);
+    2. the argmax pair: orderBy(count desc, pair asc) + limit(1) — a
+       1-row TakeOrderedAndProject collect (driver-sized: O(1));
+    3. fuse: an aggregate() left-fold over each symbol array that joins
+       adjacent (p0, p1) left-to-right non-overlapping — the exact loop
+       ``learn_bpe`` runs in Python, expressed as a Catalyst higher-order
+       function;
+    4. re-groupBy identical fused words (keeps the histogram minimal,
+       mirroring learn_bpe's new_hist key re-merge).
+
+    ``checkpoint_every``: localCheckpoint cadence (eager). Each round
+    reads the previous round's histogram twice (pair count + fuse), so
+    checkpointing every round (the default) makes per-round work flat
+    and truncates the otherwise O(n_merges)-deep lineage; raise it only
+    to trade recompute for fewer materializations. Production note: on a
+    multi-executor cluster prefer reliable ``spark.checkpoint`` over
+    localCheckpoint every ~64 rounds for executor-loss resilience.
+
+    Identical output to ``learn_bpe`` for the same corpus and cap
+    (pytest-pinned): same histogram, same counts, same deterministic
+    (count desc, pair asc) tiebreak.
+    """
+    words = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit(PRETOKEN_PATTERN), F.lit(0))
+            ).alias("w")
+        )
+        .filter((F.col("w") != "") & (F.col("w") != " "))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    if max_words is not None:
+        words = words.orderBy(F.desc("cnt"), F.asc("w")).limit(max_words)
+    hist = words.select(
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("symbols"),
+        "cnt",
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[str, str]] = []
+    for round_idx in range(n_merges):
+        top = (
+            hist.select(
+                F.explode(
+                    F.expr(
+                        "transform(slice(symbols, 1, size(symbols) - 1), "
+                        "(x, i) -> struct(x AS p0, element_at(symbols, i + 2) AS p1))"
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy("p.p0", "p.p1")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), F.asc("p0"), F.asc("p1"))
+            .limit(1)
+            .collect()  # driver-sized: exactly the argmax row
+        )
+        if not top:
+            break
+        p0, p1 = top[0]["p0"], top[0]["p1"]
+        merges.append((p0, p1))
+        fused = p0 + p1
+
+        def _merge(acc, x):
+            return (
+                F.when(
+                    acc["pending"].isNull(),
+                    F.struct(acc["out"].alias("out"), x.alias("pending")),
+                )
+                .when(
+                    (acc["pending"] == F.lit(p0)) & (x == F.lit(p1)),
+                    F.struct(
+                        F.array_append(acc["out"], F.lit(fused)).alias("out"),
+                        F.lit(None).cast("string").alias("pending"),
+                    ),
+                )
+                .otherwise(
+                    F.struct(
+                        F.array_append(acc["out"], acc["pending"]).alias("out"),
+                        x.alias("pending"),
+                    )
+                )
+            )
+
+        def _finish(acc):
+            return F.when(acc["pending"].isNull(), acc["out"]).otherwise(
+                F.array_append(acc["out"], acc["pending"])
+            )
+
+        hist = (
+            hist.select(
+                F.aggregate(
+                    "symbols",
+                    F.expr(
+                        "struct(cast(array() as array<string>) AS out, "
+                        "cast(null as string) AS pending)"
+                    ),
+                    _merge,
+                    _finish,
+                ).alias("symbols"),
+                "cnt",
+            )
+            .groupBy("symbols")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        if (round_idx + 1) % checkpoint_every == 0:
+            hist = hist.localCheckpoint(eager=True)
     return merges
 
 

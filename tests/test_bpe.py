@@ -116,6 +116,29 @@ def test_max_words_cap_bounds_driver_state(spark, sf_dir):
     assert len(merges) == 5
 
 
+def test_distributed_learn_matches_driver_loop(spark, sf_dir):
+    """learn_bpe_distributed (per-round JVM pair-count groupBy + argmax +
+    aggregate()-fold fuse; histogram never on the driver) must produce
+    EXACTLY learn_bpe's merge list: toy corpus uncapped, real documents
+    capped (the cap path shares the same deterministic top-K), and the
+    exhausted-corpus early stop."""
+    from nginx_log_spark.functions.bpe import learn_bpe_distributed
+
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    toy = spark.createDataFrame([(" ".join(words),)], "text string")
+    assert learn_bpe_distributed(toy, n_merges=8) == learn_bpe(
+        toy, n_merges=8, max_words=None
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    assert learn_bpe_distributed(
+        docs, n_merges=12, max_words=200, checkpoint_every=4
+    ) == learn_bpe(docs, n_merges=12, max_words=200)
+
+    ex = spark.createDataFrame([("ab ab",)], "text string")
+    assert learn_bpe_distributed(ex, n_merges=10) == [("a", "b"), (" ", "ab")]
+
+
 def test_fewer_merges_than_requested_when_exhausted(spark):
     df = spark.createDataFrame([("ab ab",)], "text string")
     # pretokens: "ab", " ab" (Ġ convention keeps the leading space):
