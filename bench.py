@@ -244,6 +244,27 @@ def _group_queries(spark, group: str) -> dict[str, float]:
         queries["docs_prefix_jaccard_t07"] = _timed(
             q_prefix_jaccard, "docs_prefix_jaccard_t07"
         )
+
+        def q_prefix_jaccard_skew():
+            # r5 stop-shingle skew-hardening evidence: EVERY doc gets the
+            # same boilerplate appended, so those shingles' df = |docs| —
+            # the adversarial case where the frequency-annotation join
+            # would land its entire row mass in one shuffle partition.
+            # The Zipf-head broadcast (freq_head_bcast default) keeps the
+            # hot keys out of the shuffle entirely; this row should track
+            # docs_prefix_jaccard_t07, not blow up.
+            from nginx_log_spark.functions import prefix_jaccard_pairs
+
+            docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            boiler = " the quick brown fox jumps over the lazy dog once more"
+            skewed = docs.withColumn("text", F.concat(F.col("text"), F.lit(boiler)))
+            prefix_jaccard_pairs(
+                skewed, shingle_k=5, threshold=0.7, broadcast_verify=True
+            ).count()
+
+        queries["docs_prefix_jaccard_skew"] = _timed(
+            q_prefix_jaccard_skew, "docs_prefix_jaccard_skew"
+        )
         # emb_cosine_topk became a two-variant composite in round 3
         # (pretrained dense + hashed TF-IDF sparse retrieval); fresh ledger
         # key so min-over-sessions never mixes the old single-variant runs

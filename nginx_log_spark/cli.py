@@ -75,6 +75,9 @@ def main(argv: list[str] | None = None) -> int:
         from nginx_log_spark.reports.reports import error_burst_zscore, method_path_stats
 
         if args.paths:
+            # driver-sized by construction: method_path_stats limits to
+            # --top rows before this toPandas (and the burst frame below
+            # is limit(args.top)) — keep any new report on this invariant
             pdf = method_path_stats(valid, args.top).toPandas()
             sys.stdout.write("\n== method/path (extension) ==\n")
             sys.stdout.write(pdf.to_string(index=False) + "\n")

@@ -117,6 +117,8 @@ def learn_bpe(
     if max_words is not None:
         words = words.orderBy(F.desc("cnt"), F.asc("w")).limit(max_words)
     hist: dict[tuple[str, ...], int] = {
+        # driver-sized by contract: <= max_words histogram rows (the cap is
+        # the documented bound; learn_bpe_distributed is the uncapped path)
         _word_symbols(r["w"]): int(r["cnt"]) for r in words.collect()
     }
 

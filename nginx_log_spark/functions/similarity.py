@@ -258,7 +258,7 @@ def seed_centroids(
         df.select(id_col, vec_col)
         .orderBy(id_col)
         .limit(n_centroids)
-        .collect()
+        .collect()  # driver-sized: <= n_centroids vectors (quantizer state)
     )
     if not rows:
         raise ValueError("seed_centroids: input has no vectors — cannot build an IVF quantizer")
@@ -349,6 +349,8 @@ def ivf_kmeans_refine(
         rows = (
             assigned.groupBy("cell")
             .agg(F.count(F.lit(1)).alias("n"), *sums)
+            # driver-sized: one row per IVF cell (O(n_centroids) quantizer
+            # state per k-means round), never per-vector data
             .collect()
         )
         by_cell = {int(r["cell"]): r for r in rows}

@@ -199,6 +199,8 @@ def render_full_report(
     Spark job (reports.fused_reports — one scan, one shuffle), one collect."""
     from nginx_log_spark.reports.reports import fused_reports
 
+    # driver-sized by construction: fused_reports emits only report rows —
+    # a handful of totals plus <= k rows per ranked section (k default 100)
     return render_from_fused(fused_reports(parsed, k).collect(), k, width, color)
 
 

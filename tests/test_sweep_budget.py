@@ -71,6 +71,45 @@ def test_no_single_query_hogs_the_sweep(artifact, abs_cap):
         )
 
 
+# Per-query ceilings for the historically expensive composites at sf0.1
+# (r4 verdict ask #5: the final-round insurance against any one of these
+# regressing back toward the r3 docs_dedup_retain incident, where one
+# composite silently grew to 1036s). Bounds are ~3x the round-4 pinned
+# costs — wide enough for the documented VM wall-clock swing, tight
+# enough that an algorithmic regression (a lost filter, a de-shared
+# cache, an accidental re-derivation) trips them immediately.
+SF01_CEILINGS = {
+    "docs_dedup_retain": 180.0,  # r4: 62s (was 1036s in r3)
+    "docs_pair_scores": 140.0,   # r4: 46s (was 275s in r3)
+    "emb_neardup_pairs": 90.0,   # r4: 30s
+    "seq_packing": 80.0,         # r4: 25s
+    "log_token_stats": 70.0,     # r4: 22s
+}
+
+
+def test_top5_sweep_costs_pinned_at_sf01():
+    qs = _load("CORRECTNESS_SF01.json")
+    over = {
+        name: (qs[name].get("spark_sec"), cap)
+        for name, cap in SF01_CEILINGS.items()
+        if name in qs and (qs[name].get("spark_sec") or 0) > cap
+    }
+    assert not over, (
+        "sf0.1 per-query ceilings exceeded (algorithmic regression in a "
+        f"pinned composite): {over} — re-check shared caches / prefix "
+        "filters before the driver sweep pays for it"
+    )
+    # the pin list must keep covering the actual top of the cost table:
+    # if some OTHER query grows past every pinned one, the pins are stale
+    timed = {k: v["spark_sec"] for k, v in qs.items() if v.get("spark_sec")}
+    top5 = {k for k, _ in sorted(timed.items(), key=lambda kv: -kv[1])[:5]}
+    unpinned_top = top5 - set(SF01_CEILINGS)
+    assert all(timed[q] <= max(SF01_CEILINGS.values()) for q in unpinned_top), (
+        f"unpinned queries now dominate the sf0.1 sweep: "
+        f"{ {q: timed[q] for q in unpinned_top} } — extend SF01_CEILINGS"
+    )
+
+
 def test_sweep_artifact_covers_registry():
     qs = _load("CORRECTNESS_LOCAL.json")
     missing = _registered() - set(qs)

@@ -258,7 +258,14 @@ def main() -> None:
         "quadratic stop-shingle buckets never meet); verification is a "
         "|candidates|-bounded array_intersect Project. No shingle "
         "self-join over the full sets, no CartesianProduct — the result "
-        "set is provably identical to the exhaustive join.",
+        "set is provably identical to the exhaustive join. Stop-shingle "
+        "skew hardening (r5): the frequency-annotation join routes the "
+        "Zipf HEAD of the vocabulary through BROADCAST hash joins (hot "
+        "inner + the two anti-join exclusions — visible below as the "
+        "BroadcastHashJoins feeding the pre-window union), so a shingle "
+        "present in most documents never lands its row mass in one "
+        "shuffle partition; only the tail — every key's row count "
+        "bounded by the head's minimum df — takes the shuffle join.",
         plan(prefix_jaccard_pairs(docs, shingle_k=5, threshold=0.7)),
     ))
 
