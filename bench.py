@@ -148,7 +148,11 @@ def _group_queries(spark, group: str) -> dict[str, float]:
         # warm: fork the python worker pool + JIT with one full pass
         queries["warmup_sec"] = _timed(q_parse_count, "warmup (cold parse)")
         queries["parse_lines"] = _min_of(q_parse_count, "parse_lines")
-        queries["parse_materialize"] = _min_of(q_parse_materialize, "parse_materialize", 2)
+        # min-of-3: this is the most DRAM-traffic-sensitive bar (ships all
+        # 9 fields + token echo), and single sessions have swung 5-27s on
+        # the identical plan — extra passes keep one noisy window from
+        # defining the session value
+        queries["parse_materialize"] = _min_of(q_parse_materialize, "parse_materialize", 3)
         queries["full_report_job"] = _min_of(
             lambda: pipeline_job(spark, seq), "full_report_job"
         )
@@ -241,8 +245,8 @@ def _group_queries(spark, group: str) -> dict[str, float]:
                 docs, shingle_k=5, threshold=0.7, broadcast_verify=True
             ).count()
 
-        queries["docs_prefix_jaccard_t07"] = _timed(
-            q_prefix_jaccard, "docs_prefix_jaccard_t07"
+        queries["docs_prefix_jaccard_t07"] = _min_of(
+            q_prefix_jaccard, "docs_prefix_jaccard_t07", 2
         )
 
         def q_prefix_jaccard_skew():
@@ -268,9 +272,9 @@ def _group_queries(spark, group: str) -> dict[str, float]:
         # emb_cosine_topk became a two-variant composite in round 3
         # (pretrained dense + hashed TF-IDF sparse retrieval); fresh ledger
         # key so min-over-sessions never mixes the old single-variant runs
-        queries["emb_cosine_tfidf_composite"] = _timed(
+        queries["emb_cosine_tfidf_composite"] = _min_of(
             lambda: Q.emb_cosine_topk(spark, SF_DIR).collect(),
-            "emb_cosine_tfidf_composite",
+            "emb_cosine_tfidf_composite", 2,
         )
 
         def q_dsir():
