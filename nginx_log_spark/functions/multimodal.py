@@ -7,10 +7,11 @@ batch shape, partition behavior) is real and tested. The codec call is
 isolated in ``_decode_bytes``: with ``fake=True`` it derives deterministic
 pseudo-metadata from the bytes; with ``fake=False`` it REALLY parses the
 containers implementable with zero dependencies — RIFF/WAVE PCM audio
-(chunk walk, fmt/data parse, int16 samples) and binary PPM (P6) images —
-and raises NotImplementedError only for formats that genuinely need an
-external library (JPEG/PNG/MP4: PIL / soundfile / pyav would plug in at
-the same seam).
+(chunk walk, fmt/data parse, int16 samples), binary PPM (P6) images, and
+8-bit gray/gray+alpha/RGB/RGBA PNG (CRC-verified chunk walk, zlib
+inflate, per-scanline unfilter) — and raises NotImplementedError only
+for formats that genuinely need an external library (JPEG/MP4: PIL /
+soundfile / pyav would plug in at the same seam).
 
 Real-decode checksum semantics: md5 over the DECODED canonical content
 (comma-joined sample/pixel integers), not the container bytes — the
@@ -193,15 +194,22 @@ def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytes:
     return bytes(out)
 
 
+# 8-bit PNG color types this decoder handles -> bytes per pixel
+# (0 gray, 2 RGB, 4 gray+alpha, 6 RGBA; type 3 palette needs PLTE
+# handling and stays behind the external-codec seam)
+_PNG_BPP = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
 def _decode_png(payload: bytes) -> dict:
     """Real PNG parse, stdlib only (zlib): signature check, chunk walk
     with per-chunk CRC32 verification, IHDR constraints (8-bit, color
-    type 2 RGB / 6 RGBA, deflate, adaptive filters, no interlace), IDAT
-    concatenation + inflate, per-scanline unfilter. Checksum follows the
-    module convention — md5 over the DECODED pixel bytes (content
-    identity: a recompressed or refiltered container of the same raster
-    collides). Raises ValueError on malformed containers — corrupt media
-    must be routed to a reject sink, never silently faked."""
+    type 0 gray / 2 RGB / 4 gray+alpha / 6 RGBA, deflate, adaptive
+    filters, no interlace), IDAT concatenation + inflate, per-scanline
+    unfilter. Checksum follows the module convention — md5 over the
+    DECODED pixel bytes (content identity: a recompressed or refiltered
+    container of the same raster collides). Raises ValueError on
+    malformed containers — corrupt media must be routed to a reject
+    sink, never silently faked."""
     import hashlib
     import struct
     import zlib
@@ -230,9 +238,10 @@ def _decode_png(payload: bytes) -> dict:
     if ihdr is None or not idat or not saw_iend:
         raise ValueError("missing IHDR/IDAT/IEND chunk")
     width, height, depth, color, comp, filt, interlace = ihdr
-    if depth != 8 or color not in (2, 6):
+    if depth != 8 or color not in _PNG_BPP:
         raise ValueError(
-            f"only 8-bit RGB/RGBA PNG supported, got depth={depth} color={color}"
+            "only 8-bit gray/gray+alpha/RGB/RGBA PNG supported, "
+            f"got depth={depth} color={color}"
         )
     if comp != 0 or filt != 0 or interlace != 0:
         raise ValueError("unsupported PNG compression/filter/interlace method")
@@ -240,7 +249,7 @@ def _decode_png(payload: bytes) -> dict:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
         raise ValueError(f"corrupt IDAT stream: {exc}") from exc
-    pixels = _png_unfilter(raw, width, height, 3 if color == 2 else 4)
+    pixels = _png_unfilter(raw, width, height, _PNG_BPP[color])
     return {
         "width": width,
         "height": height,
@@ -254,9 +263,9 @@ def _decode_png(payload: bytes) -> dict:
 def _decode_bytes(payload: bytes, media_type: str, fake: bool) -> dict:
     """THE codec seam. fake=True derives deterministic pseudo-metadata from
     the payload bytes; fake=False really decodes the zero-dependency
-    containers (RIFF/WAVE PCM, binary PPM, 8-bit RGB/RGBA PNG) and raises
-    NotImplementedError for formats that need an external codec
-    (PIL / soundfile / pyav would plug in here)."""
+    containers (RIFF/WAVE PCM, binary PPM, 8-bit gray/gray+alpha/RGB/RGBA
+    PNG) and raises NotImplementedError for formats that need an external
+    codec (PIL / soundfile / pyav would plug in here)."""
     if not fake:
         payload = bytes(payload)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -267,8 +276,8 @@ def _decode_bytes(payload: bytes, media_type: str, fake: bool) -> dict:
             return _decode_png(payload)
         raise NotImplementedError(
             "real decode supports RIFF/WAVE PCM, binary PPM, and 8-bit "
-            "RGB/RGBA PNG; other formats (JPEG/MP4/...) need "
-            "PIL/soundfile/pyav, which are not available in this "
+            "gray/gray+alpha/RGB/RGBA PNG; other formats (JPEG/MP4/...) "
+            "need PIL/soundfile/pyav, which are not available in this "
             "environment"
         )
     import hashlib
@@ -473,9 +482,15 @@ def _png_filter_line(
     return bytes(out)
 
 
-def synth_png_payload(i: int, w: int | None = None, h: int | None = None) -> bytes:
+def synth_png_payload(
+    i: int,
+    w: int | None = None,
+    h: int | None = None,
+    color: int | None = None,
+) -> bytes:
     """A REAL PNG image for row i: w = 4 + i % 9, h = 3 + i % 5 (unless
-    pinned), RGB for even i / RGBA for odd i, decoded pixel byte j =
+    pinned), RGB for even i / RGBA for odd i (unless ``color`` pins one
+    of the four supported types 0/2/4/6), decoded pixel byte j =
     (i*31 + j*7) % 256 — pure integer arithmetic, exactly regenerable by
     an oracle. The encoder is spec-real: scanline y carries filter type
     y % 5 (exercising None/Sub/Up/Average/Paeth on every image tall
@@ -489,8 +504,8 @@ def synth_png_payload(i: int, w: int | None = None, h: int | None = None) -> byt
 
     w = w if w is not None else 4 + i % 9
     h = h if h is not None else 3 + i % 5
-    color = 2 if i % 2 == 0 else 6
-    bpp = 3 if color == 2 else 4
+    color = color if color is not None else (2 if i % 2 == 0 else 6)
+    bpp = _PNG_BPP[color]
     pixels = bytes(((i * 31 + j * 7) % 256) for j in range(w * h * bpp))
     stride = w * bpp
     raw = bytearray()

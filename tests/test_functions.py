@@ -429,6 +429,54 @@ def test_multimodal_real_png_decode(spark):
         _decode_png(short)
 
 
+def test_multimodal_png_grayscale_and_roundtrip():
+    """Grayscale widening + encoder/decoder round-trip property: for any
+    (i, w, h, color) the decoder must recover exactly the formula raster
+    the spec-real encoder filtered away — all five filter types (y % 5
+    per scanline), all four supported color types, and strides of
+    bpp 1/2/3/4 exercising the x >= bpp boundary of Sub/Average/Paeth.
+    Palette PNGs (color type 3) stay behind the external-codec seam."""
+    import hashlib
+    import struct
+    import zlib
+
+    from nginx_log_spark.functions.multimodal import (
+        _PNG_BPP,
+        _decode_png,
+        synth_png_payload,
+    )
+
+    pytest.importorskip("hypothesis", reason="hypothesis not installed")
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        i=st.integers(min_value=0, max_value=10_000),
+        w=st.integers(min_value=1, max_value=12),
+        h=st.integers(min_value=1, max_value=11),
+        color=st.sampled_from([0, 2, 4, 6]),
+    )
+    @settings(max_examples=300, deadline=None)
+    def roundtrip(i, w, h, color):
+        d = _decode_png(synth_png_payload(i, w=w, h=h, color=color))
+        assert (d["width"], d["height"]) == (w, h)
+        bpp = _PNG_BPP[color]
+        want = hashlib.md5(
+            ",".join(str((i * 31 + j * 7) % 256) for j in range(w * h * bpp)).encode()
+        ).hexdigest()
+        assert d["checksum"] == want
+
+    roundtrip()
+
+    # color type 3 (palette) is rejected at the IHDR gate: patch the
+    # color byte of a valid container and fix the chunk CRC
+    buf = bytearray(synth_png_payload(1, w=4, h=3, color=0))
+    buf[25] = 3  # IHDR body byte 9 = color type
+    buf[29:33] = struct.pack(">I", zlib.crc32(bytes(buf[12:29])) & 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="only 8-bit"):
+        _decode_png(bytes(buf))
+
+
 def test_multimodal_real_wav_decode(spark):
     """REAL codec path: genuine RIFF/WAVE PCM containers parsed end-to-end
     through the mapInPandas operator — frame counts from the data chunk,
