@@ -1996,16 +1996,18 @@ FROM p
 # REAL-codec PNG branch: Spark inflates + unfilters genuine PNG containers
 # (multimodal._decode_png — chunk walk with CRC32 verification, stored-
 # deflate IDAT through zlib.decompress, per-scanline None/Sub/Up/Average/
-# Paeth unfilter; RGB even rows, RGBA odd). The oracle regenerates the
-# DECODED raster from synth_png_payload's integer pixel formula
-# byte_j = (i*31 + j*7) % 256 and the closed-form container size
-# 68 + h*(1 + w*bpp), so a chunk-walk, inflate, or unfilter bug on the
-# Spark side hash-mismatches.
+# Paeth unfilter; row i cycles color type 2*(i%4): gray / RGB /
+# gray+alpha / RGBA, so ALL four decoder branches sit under this
+# oracle). The oracle regenerates the DECODED raster from
+# synth_png_payload's integer pixel formula byte_j = (i*31 + j*7) % 256
+# and the closed-form container size 68 + h*(1 + w*bpp) with bpp from
+# the color-type map {0:1, 2:3, 4:2, 6:4}, so a chunk-walk, inflate, or
+# unfilter bug on the Spark side hash-mismatches.
 _PNG_DECODE_O = """
 WITH p AS (
   SELECT i, printf('g%05d', i) AS media_id,
          4 + i % 9 AS w, 3 + i % 5 AS h,
-         CASE WHEN i % 2 = 0 THEN 3 ELSE 4 END AS bpp
+         CASE i % 4 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 2 ELSE 4 END AS bpp
   FROM range(0, 32) t(i)
 )
 SELECT media_id, 'image' AS media_type,
@@ -2013,6 +2015,33 @@ SELECT media_id, 'image' AS media_type,
        CAST(w AS INT) AS width, CAST(h AS INT) AS height,
        md5(array_to_string([CAST((i * 31 + j * 7) % 256 AS VARCHAR)
                             for j in range(0, w * h * bpp)], ',')) AS checksum
+FROM p
+"""
+
+# REAL-codec PNG resize branch: Spark decodes genuine PNG containers,
+# nearest-neighbor-resizes the raster to 6x5 (same integer map as the
+# PPM path: src = (dst * src_dim) // dst_dim), and re-encodes a PNG of
+# the same color type (multimodal._resize_png, fake=False). The oracle
+# regenerates the resized raster from the synth formula through the SAME
+# index map, per output byte idx: y = idx // (6*bpp), x = (idx % (6*bpp))
+# // bpp, c = idx % bpp, src_j = ((y*h)//5 * w + (x*w)//6) * bpp + c.
+# n_bytes is -1 on both sides: the re-encoded container's size depends
+# on zlib's deflate output, which SQL cannot regenerate (the checksum is
+# over DECODED content, so parity is unaffected).
+_PNG_RESIZE_O = """
+WITH p AS (
+  SELECT i, printf('g%05d', i) AS media_id,
+         4 + i % 9 AS w, 3 + i % 5 AS h,
+         CASE i % 4 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 2 ELSE 4 END AS bpp
+  FROM range(0, 32) t(i)
+)
+SELECT media_id, 'image' AS media_type, -1 AS n_bytes,
+       6 AS width, 5 AS height,
+       md5(array_to_string(
+         [CAST((i * 31 + (((((idx // (6 * bpp)) * h) // 5) * w
+                           + ((((idx % (6 * bpp)) // bpp) * w) // 6)) * bpp
+                          + idx % bpp) * 7) % 256 AS VARCHAR)
+          for idx in range(0, 30 * bpp)], ',')) AS checksum
 FROM p
 """
 
@@ -2032,6 +2061,9 @@ SELECT 'resize_ppm' AS kind, media_id, media_type, n_bytes, width, height,
 UNION ALL
 SELECT 'decode_png' AS kind, media_id, media_type, n_bytes, width, height,
        -1 AS n_frames, -1 AS frame_idx, checksum FROM ({_PNG_DECODE_O})
+UNION ALL
+SELECT 'resize_png' AS kind, media_id, media_type, n_bytes, width, height,
+       -1 AS n_frames, -1 AS frame_idx, checksum FROM ({_PNG_RESIZE_O})
 """
 
 
@@ -2046,10 +2078,13 @@ def mm_decode_frames(spark, sf):
     checksum over the decoded int16 samples — and 'resize_ppm' rows the
     REAL image-resize path (genuine binary-PPM containers
     nearest-neighbor-resized to 6x5, checksum over the resized raster);
-    and 'decode_png' rows the REAL compressed-image path — genuine PNG
+    'decode_png' rows the REAL compressed-image path — genuine PNG
     containers (CRC-verified chunk walk, zlib-inflated IDAT, per-scanline
-    None/Sub/Up/Average/Paeth unfilter; RGB and RGBA) decoded by
-    multimodal._decode_png (fake=False), checksum over the decoded
+    None/Sub/Up/Average/Paeth unfilter; all four 8-bit color types
+    gray / RGB / gray+alpha / RGBA) decoded by multimodal._decode_png
+    (fake=False), checksum over the decoded raster; and 'resize_png'
+    rows the decode → nearest-neighbor resize → re-encode round trip
+    (multimodal._resize_png, fake=False), checksum over the resized
     raster. Sentinel -1/'' fill the branch-inapplicable columns
     (cross-engine null dtypes would break the value hash)."""
     dec = mm_decode_meta(spark, sf).select(
@@ -2095,7 +2130,15 @@ def mm_decode_frames(spark, sf):
         F.lit(-1).cast("int").alias("n_frames"),
         F.lit(-1).cast("int").alias("frame_idx"), "checksum",
     )
-    return dec.unionAll(fr).unionAll(wav).unionAll(rs).unionAll(png)
+    rpng = resize_media(synth_png_df(spark, 32), 6, 5, fake=False).select(
+        F.lit("resize_png").alias("kind"), "media_id", "media_type",
+        F.lit(-1).cast("int").alias("n_bytes"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.lit(-1).cast("int").alias("n_frames"),
+        F.lit(-1).cast("int").alias("frame_idx"), "checksum",
+    )
+    return dec.unionAll(fr).unionAll(wav).unionAll(rs).unionAll(png).unionAll(rpng)
 
 
 def _feat_oracle_cols() -> str:

@@ -200,17 +200,14 @@ def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytes:
 _PNG_BPP = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
-def _decode_png(payload: bytes) -> dict:
+def _png_raster(payload: bytes) -> tuple[int, int, int, bytes]:
     """Real PNG parse, stdlib only (zlib): signature check, chunk walk
     with per-chunk CRC32 verification, IHDR constraints (8-bit, color
     type 0 gray / 2 RGB / 4 gray+alpha / 6 RGBA, deflate, adaptive
     filters, no interlace), IDAT concatenation + inflate, per-scanline
-    unfilter. Checksum follows the module convention — md5 over the
-    DECODED pixel bytes (content identity: a recompressed or refiltered
-    container of the same raster collides). Raises ValueError on
-    malformed containers — corrupt media must be routed to a reject
-    sink, never silently faked."""
-    import hashlib
+    unfilter. Returns (width, height, color_type, decoded pixel bytes);
+    raises ValueError on malformed containers — corrupt media must be
+    routed to a reject sink, never silently faked."""
     import struct
     import zlib
 
@@ -249,7 +246,16 @@ def _decode_png(payload: bytes) -> dict:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
         raise ValueError(f"corrupt IDAT stream: {exc}") from exc
-    pixels = _png_unfilter(raw, width, height, _PNG_BPP[color])
+    return width, height, color, _png_unfilter(raw, width, height, _PNG_BPP[color])
+
+
+def _decode_png(payload: bytes) -> dict:
+    """PNG decode metadata via _png_raster. Checksum follows the module
+    convention — md5 over the DECODED pixel bytes (content identity: a
+    recompressed or refiltered container of the same raster collides)."""
+    import hashlib
+
+    width, height, _color, pixels = _png_raster(payload)
     return {
         "width": width,
         "height": height,
@@ -383,6 +389,59 @@ def _resize_ppm(payload: bytes, out_w: int, out_h: int) -> dict:
     }
 
 
+def _encode_png(pixels: bytes, w: int, h: int, color: int) -> bytes:
+    """Minimal spec-valid PNG encoder for decoded rasters: filter type 0
+    on every scanline, real zlib deflate for the IDAT stream, genuine
+    chunk CRC32s. Round-trips exactly through _png_raster."""
+    import struct
+    import zlib
+
+    bpp = _PNG_BPP[color]
+    stride = w * bpp
+    if len(pixels) != h * stride:
+        raise ValueError(f"raster is {len(pixels)} bytes, expected {h * stride}")
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        raw += pixels[y * stride : (y + 1) * stride]
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _resize_png(payload: bytes, out_w: int, out_h: int) -> dict:
+    """Real nearest-neighbor resize of a PNG: decode through _png_raster
+    (CRC-verified, inflated, unfiltered), index the raster with the same
+    integer map the PPM path uses — src = (dst * src_dim) // dst_dim,
+    deterministic, no float sampling — and re-encode a well-formed PNG
+    of the SAME color type via _encode_png. Checksum follows the module
+    convention: md5 over the DECODED resized pixel bytes."""
+    import hashlib
+
+    w, h, color, pixels = _png_raster(payload)
+    bpp = _PNG_BPP[color]
+    raster = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, bpp)
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    resized = raster[ys][:, xs].tobytes()
+    return {
+        "payload": _encode_png(resized, out_w, out_h, color),
+        "checksum": hashlib.md5(
+            ",".join(str(b) for b in resized).encode()
+        ).hexdigest(),
+    }
+
+
 def resize_media(
     df: DataFrame, out_w: int, out_h: int, fake: bool = True
 ) -> DataFrame:
@@ -390,10 +449,11 @@ def resize_media(
     time (the brief's decode/feature/RESIZE/frame-sample quartet). With
     fake=True the output payload is None and the checksum is a
     deterministic function of (container md5, out dims) — the Spark-side
-    plumbing without a codec. With fake=False, binary-PPM payloads are
-    REALLY resized (nearest-neighbor, re-encoded P6 — round-trips through
-    _decode_ppm); other formats raise NotImplementedError at the same
-    seam as _decode_bytes, and corrupt containers raise (reject-sink
+    plumbing without a codec. With fake=False, binary-PPM and PNG
+    payloads are REALLY resized (nearest-neighbor, re-encoded in their
+    own container format — round-trips through _decode_ppm/_png_raster);
+    other formats raise NotImplementedError at the same seam as
+    _decode_bytes, and corrupt containers raise ValueError (reject-sink
     route, never silently faked). Non-image rows pass through untouched
     at their original dims with a null payload/checksum."""
 
@@ -417,7 +477,17 @@ def resize_media(
                         (media_id, media_type, out_w, out_h, None, None, ck)
                     )
                     continue
-                r = _resize_ppm(bytes(payload), out_w, out_h)
+                b = bytes(payload)
+                if b[:2] == b"P6":
+                    r = _resize_ppm(b, out_w, out_h)
+                elif b[:8] == _PNG_SIG:
+                    r = _resize_png(b, out_w, out_h)
+                else:
+                    raise NotImplementedError(
+                        "real resize supports binary PPM and 8-bit PNG; "
+                        "other formats need PIL, which is not available "
+                        "in this environment"
+                    )
                 out_rows.append(
                     (media_id, media_type, out_w, out_h,
                      bytearray(r["payload"]), len(r["payload"]), r["checksum"])
@@ -542,10 +612,12 @@ def synth_png_payload(
 
 def synth_png_df(spark, n: int = 32) -> DataFrame:
     """Deterministic REAL-PNG media table (media_type='image') for the
-    real-codec decode path and its driver oracle."""
+    real-codec decode path and its driver oracle. Row i cycles through
+    all four supported color types (gray / RGB / gray+alpha / RGBA =
+    2*(i%4)) so every decoder branch sits under the value oracle."""
     rows = []
     for i in range(n):
-        payload = synth_png_payload(i)
+        payload = synth_png_payload(i, color=2 * (i % 4))
         rows.append(
             {
                 "media_id": f"g{i:05d}",

@@ -358,8 +358,9 @@ def test_multimodal_real_decode_raises(spark):
 def test_multimodal_real_png_decode(spark):
     """REAL compressed-image path: genuine PNG containers decoded
     end-to-end through the mapInPandas operator — CRC-verified chunk walk,
-    zlib inflate, per-scanline unfilter across all five filter types, RGB
-    and RGBA — checksum over the decoded raster; a recompressed container
+    zlib inflate, per-scanline unfilter across all five filter types and
+    all four color types — checksum over the decoded raster; a
+    recompressed container
     of the same raster collides (content identity); corrupt containers
     (truncation, CRC flip, bad filter type, short IDAT) raise."""
     import hashlib
@@ -379,7 +380,7 @@ def test_multimodal_real_png_decode(spark):
     for r in dec.itertuples():
         i = int(r.media_id[1:])
         w, h = 4 + i % 9, 3 + i % 5
-        bpp = 3 if i % 2 == 0 else 4
+        bpp = {0: 1, 1: 3, 2: 2, 3: 4}[i % 4]  # color type 2*(i%4)
         assert (r.width, r.height) == (w, h) and pd.isna(r.n_frames)
         want = hashlib.md5(
             ",".join(str((i * 31 + j * 7) % 256) for j in range(w * h * bpp)).encode()
@@ -475,6 +476,51 @@ def test_multimodal_png_grayscale_and_roundtrip():
     buf[29:33] = struct.pack(">I", zlib.crc32(bytes(buf[12:29])) & 0xFFFFFFFF)
     with pytest.raises(ValueError, match="only 8-bit"):
         _decode_png(bytes(buf))
+
+
+def test_multimodal_png_resize():
+    """Real PNG resize: decode → integer nearest-neighbor → re-encode in
+    the same color type; the output is itself a well-formed PNG that
+    round-trips through the decoder, identity resize preserves the
+    content checksum, and the pixel map matches an independent numpy
+    nearest-neighbor computed from the synth formula."""
+    import hashlib
+
+    import numpy as np
+
+    from nginx_log_spark.functions.multimodal import (
+        _PNG_BPP,
+        _decode_png,
+        _resize_png,
+        synth_png_payload,
+    )
+
+    for color in (0, 2, 4, 6):
+        i, w, h = 7, 8, 6
+        p = synth_png_payload(i, w=w, h=h, color=color)
+        # identity resize: same raster, hence same content checksum
+        same = _resize_png(p, w, h)
+        assert same["checksum"] == _decode_png(p)["checksum"]
+        # downscale: compare against an independent nearest-neighbor map
+        out_w, out_h = 3, 4
+        r = _resize_png(p, out_w, out_h)
+        bpp = _PNG_BPP[color]
+        src = np.array(
+            [(i * 31 + j * 7) % 256 for j in range(w * h * bpp)], dtype=np.uint8
+        ).reshape(h, w, bpp)
+        ys = (np.arange(out_h) * h) // out_h
+        xs = (np.arange(out_w) * w) // out_w
+        want = src[ys][:, xs].tobytes()
+        assert r["checksum"] == hashlib.md5(
+            ",".join(str(b) for b in want).encode()
+        ).hexdigest()
+        # the re-encoded container is a real PNG of the same color type
+        d = _decode_png(r["payload"])
+        assert (d["width"], d["height"]) == (out_w, out_h)
+        assert d["checksum"] == r["checksum"]
+    # corrupt container -> hard error, never a silent fake
+    with pytest.raises(ValueError):
+        _resize_png(synth_png_payload(3)[:-2], 2, 2)
 
 
 def test_multimodal_real_wav_decode(spark):
