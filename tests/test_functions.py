@@ -523,6 +523,43 @@ def test_multimodal_png_resize():
         _resize_png(synth_png_payload(3)[:-2], 2, 2)
 
 
+def test_multimodal_resize_dispatch(spark):
+    """resize_media(fake=False) dispatches per container magic inside one
+    Arrow batch — PPM and PNG rows in the SAME frame each resize through
+    their own codec and re-encode in their own format — and an image
+    payload in a format without a stdlib codec raises NotImplementedError
+    at the documented seam (never a silent fake)."""
+    import pandas as pd
+
+    from nginx_log_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        _decode_png,
+        _ppm_header,
+        resize_media,
+        synth_png_payload,
+        synth_ppm_payload,
+    )
+
+    rows = [
+        {"media_id": "a", "media_type": "image",
+         "payload": bytearray(synth_ppm_payload(4)), "n_bytes": 0},
+        {"media_id": "b", "media_type": "image",
+         "payload": bytearray(synth_png_payload(5)), "n_bytes": 0},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows), schema=MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in resize_media(df, 3, 2, fake=False).collect()}
+    assert _ppm_header(bytes(out["a"]["payload"]))[:2] == (3, 2)
+    d = _decode_png(bytes(out["b"]["payload"]))
+    assert (d["width"], d["height"]) == (3, 2)
+    assert d["checksum"] == out["b"]["checksum"]
+
+    jpegish = [{"media_id": "c", "media_type": "image",
+                "payload": bytearray(b"\xff\xd8\xff\xe0\x00\x10JFIF"), "n_bytes": 8}]
+    bad = spark.createDataFrame(pd.DataFrame(jpegish), schema=MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="real resize supports"):
+        resize_media(bad, 3, 2, fake=False).collect()
+
+
 def test_multimodal_real_wav_decode(spark):
     """REAL codec path: genuine RIFF/WAVE PCM containers parsed end-to-end
     through the mapInPandas operator — frame counts from the data chunk,
