@@ -81,6 +81,8 @@ def _decode_wav(payload: bytes) -> dict:
     audio_format, n_channels, _rate, _byte_rate, block_align, bits = fmt
     if audio_format != 1 or bits != 16:
         raise ValueError(f"only PCM16 supported, got format={audio_format} bits={bits}")
+    if block_align <= 0:
+        raise ValueError(f"bad block_align {block_align}")
     n_frames = len(data) // block_align
     samples = np.frombuffer(data[: n_frames * block_align], dtype="<i2")
     return {
@@ -116,6 +118,8 @@ def _ppm_header(payload: bytes) -> tuple[int, int, int]:
     width, height, maxval = fields
     if maxval != 255:
         raise ValueError(f"only maxval=255 supported, got {maxval}")
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad PPM dimensions {width}x{height}")
     return width, height, pos
 
 
@@ -225,6 +229,8 @@ def _png_raster(payload: bytes) -> tuple[int, int, int, bytes]:
         if ctype == b"IHDR":
             if ihdr is not None:
                 raise ValueError("duplicate IHDR")
+            if length != 13:
+                raise ValueError(f"IHDR must be 13 bytes, got {length}")
             ihdr = struct.unpack(">IIBBBBB", body)
         elif ctype == b"IDAT":
             idat += body
@@ -235,6 +241,8 @@ def _png_raster(payload: bytes) -> tuple[int, int, int, bytes]:
     if ihdr is None or not idat or not saw_iend:
         raise ValueError("missing IHDR/IDAT/IEND chunk")
     width, height, depth, color, comp, filt, interlace = ihdr
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad PNG dimensions {width}x{height}")
     if depth != 8 or color not in _PNG_BPP:
         raise ValueError(
             "only 8-bit gray/gray+alpha/RGB/RGBA PNG supported, "
@@ -322,6 +330,61 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
             yield out
 
     return df.mapInPandas(op, DECODED_SCHEMA)
+
+
+DECODED_ROUTED_SCHEMA = T.StructType(
+    list(DECODED_SCHEMA.fields)
+    + [
+        T.StructField("status", T.StringType(), False),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def decode_media_routed(df: DataFrame, fake: bool = False) -> DataFrame:
+    """decode_media with the engine's reject-sink contract (the media twin
+    of route.router's parse-failure routing): a malformed container lands
+    as status='reject' carrying the parse error, a format behind the
+    external-codec seam as status='unsupported', and well-formed media as
+    status='ok' — one corrupt blob can never fail a 10^12-row decode job.
+    Downstream fans out on `status` exactly like the log router's
+    status-class sinks. The exception-type contract this relies on
+    (parsers raise ValueError for corrupt bytes, NotImplementedError only
+    at the codec seam, nothing else) is fuzz-pinned in
+    tests/test_functions.py::test_multimodal_decode_exception_contract."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "media_id", "media_type", "n_bytes", "width", "height",
+            "n_frames", "checksum", "status", "error",
+        ]
+        for pdf in batches:
+            rows = []
+            for media_id, media_type, payload, n_bytes in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"], pdf["n_bytes"]
+            ):
+                try:
+                    m = _decode_bytes(payload, media_type, fake)
+                    rows.append(
+                        (media_id, media_type, n_bytes, m["width"], m["height"],
+                         m["n_frames"], m["checksum"], "ok", None)
+                    )
+                except ValueError as e:
+                    rows.append(
+                        (media_id, media_type, n_bytes, None, None, None,
+                         None, "reject", str(e)[:200])
+                    )
+                except NotImplementedError as e:
+                    rows.append(
+                        (media_id, media_type, n_bytes, None, None, None,
+                         None, "unsupported", str(e)[:200])
+                    )
+            out = pd.DataFrame(rows, columns=cols)
+            for c in ("width", "height", "n_frames"):
+                out[c] = out[c].astype("Int64")
+            yield out
+
+    return df.mapInPandas(op, DECODED_ROUTED_SCHEMA)
 
 
 FEATURE_SCHEMA = T.StructType(

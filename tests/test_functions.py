@@ -523,6 +523,82 @@ def test_multimodal_png_resize():
         _resize_png(synth_png_payload(3)[:-2], 2, 2)
 
 
+def test_multimodal_decode_exception_contract():
+    """Fuzz pin for the reject-sink routing contract: for ARBITRARY bytes
+    (random blobs, and single-byte mutations / truncations of genuine
+    containers) the real-decode seam either returns metadata, raises
+    ValueError (corrupt container -> reject sink), or raises
+    NotImplementedError (external-codec seam -> unsupported sink) — never
+    struct.error / ZeroDivisionError / IndexError, which would fail a
+    whole decode job instead of routing one bad row."""
+    pytest.importorskip("hypothesis", reason="hypothesis not installed")
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from nginx_log_spark.functions.multimodal import (
+        _decode_bytes,
+        synth_png_payload,
+        synth_ppm_payload,
+        synth_wav_payload,
+    )
+
+    bases = [synth_wav_payload(3), synth_ppm_payload(4), synth_png_payload(5)]
+
+    mutated = st.builds(
+        lambda base, cut, pos, val: (base[:cut] if cut is not None
+                                     else base[:pos] + bytes([val]) + base[pos + 1:]),
+        base=st.sampled_from(bases),
+        cut=st.one_of(st.none(), st.integers(min_value=0, max_value=60)),
+        pos=st.integers(min_value=0, max_value=43),
+        val=st.integers(min_value=0, max_value=255),
+    )
+
+    @given(payload=st.one_of(st.binary(max_size=64), mutated))
+    @settings(max_examples=2000, deadline=None)
+    def contract(payload):
+        try:
+            meta = _decode_bytes(payload, "image", fake=False)
+            assert "checksum" in meta
+        except (ValueError, NotImplementedError):
+            pass  # the two routable outcomes
+
+    contract()
+
+
+def test_multimodal_decode_media_routed(spark):
+    """Routed decode: one Arrow batch mixing a well-formed WAV, a corrupt
+    PPM, and a JPEG-magic payload yields ok / reject / unsupported rows —
+    the job completes and downstream fans out on `status` exactly like
+    the log router's parse-failure sink."""
+    import pandas as pd
+
+    from nginx_log_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        _decode_wav,
+        decode_media_routed,
+        synth_ppm_payload,
+        synth_wav_payload,
+    )
+
+    wav = synth_wav_payload(7)
+    rows = [
+        {"media_id": "ok", "media_type": "audio",
+         "payload": bytearray(wav), "n_bytes": len(wav)},
+        {"media_id": "bad", "media_type": "image",
+         "payload": bytearray(synth_ppm_payload(2)[:-5]), "n_bytes": 10},
+        {"media_id": "unsup", "media_type": "image",
+         "payload": bytearray(b"\xff\xd8\xff\xe0\x00\x10JFIF"), "n_bytes": 8},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows), schema=MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in decode_media_routed(df, fake=False).collect()}
+    assert out["ok"]["status"] == "ok" and out["ok"]["error"] is None
+    assert out["ok"]["checksum"] == _decode_wav(wav)["checksum"]
+    assert out["bad"]["status"] == "reject" and "truncated" in out["bad"]["error"]
+    assert out["bad"]["checksum"] is None
+    assert out["unsup"]["status"] == "unsupported"
+    assert "real decode supports" in out["unsup"]["error"]
+
+
 def test_multimodal_resize_dispatch(spark):
     """resize_media(fake=False) dispatches per container magic inside one
     Arrow batch — PPM and PNG rows in the SAME frame each resize through
