@@ -2045,6 +2045,34 @@ SELECT media_id, 'image' AS media_type, -1 AS n_bytes,
 FROM p
 """
 
+# Reject-sink routing branch: a deterministic mixed frame (i%3 = 0 ok WAV,
+# 1 truncated PPM -> reject, 2 JPEG magic -> unsupported) through
+# decode_media_routed (fake=False). The routing outcome rides the checksum
+# column as 'status:checksum' (ok rows carry the real decoded-content
+# checksum after the colon) so the union schema stays fixed; the oracle
+# regenerates the statuses from the case arithmetic and the ok-row
+# checksums/frame-counts from the synth_wav_samples integer formula. A
+# mis-routed corrupt container (or a decode that silently fakes instead
+# of rejecting) hash-mismatches.
+_ROUTED_DECODE_O = """
+WITH r AS (
+  SELECT i, printf('r%05d', i) AS media_id, i % 3 AS c,
+         8 + (i * 13) % 120 AS n
+  FROM range(0, 18) t(i)
+)
+SELECT CASE c WHEN 0 THEN 'audio' ELSE 'image' END AS media_type,
+       media_id, -1 AS n_bytes, -1 AS width, -1 AS height,
+       CASE c WHEN 0 THEN CAST(n AS INT) ELSE -1 END AS n_frames,
+       CASE c
+         WHEN 0 THEN 'ok:' || md5(array_to_string(
+           [CAST(((i * 31 + j * 7) % 65536) - 32768 AS VARCHAR)
+            for j in range(0, n)], ','))
+         WHEN 1 THEN 'reject:'
+         ELSE 'unsupported:'
+       END AS checksum
+FROM r
+"""
+
 _MM_DECODE_FRAMES_O = f"""
 SELECT 'decode' AS kind, media_id, media_type, n_bytes, width, height,
        n_frames, -1 AS frame_idx, checksum FROM ({_DECODE_ORACLE})
@@ -2064,6 +2092,9 @@ SELECT 'decode_png' AS kind, media_id, media_type, n_bytes, width, height,
 UNION ALL
 SELECT 'resize_png' AS kind, media_id, media_type, n_bytes, width, height,
        -1 AS n_frames, -1 AS frame_idx, checksum FROM ({_PNG_RESIZE_O})
+UNION ALL
+SELECT 'routed' AS kind, media_id, media_type, n_bytes, width, height,
+       n_frames, -1 AS frame_idx, checksum FROM ({_ROUTED_DECODE_O})
 """
 
 
@@ -2085,8 +2116,11 @@ def mm_decode_frames(spark, sf):
     (fake=False), checksum over the decoded raster; and 'resize_png'
     rows the decode → nearest-neighbor resize → re-encode round trip
     (multimodal._resize_png, fake=False), checksum over the resized
-    raster. Sentinel -1/'' fill the branch-inapplicable columns
-    (cross-engine null dtypes would break the value hash)."""
+    raster; and 'routed' rows the reject-sink contract — a deterministic
+    ok / corrupt / external-format mix through decode_media_routed, the
+    routing outcome folded into the checksum column as
+    'status:checksum'. Sentinel -1/'' fill the branch-inapplicable
+    columns (cross-engine null dtypes would break the value hash)."""
     dec = mm_decode_meta(spark, sf).select(
         F.lit("decode").alias("kind"), "media_id", "media_type",
         F.col("n_bytes").cast("int").alias("n_bytes"),
@@ -2138,7 +2172,26 @@ def mm_decode_frames(spark, sf):
         F.lit(-1).cast("int").alias("n_frames"),
         F.lit(-1).cast("int").alias("frame_idx"), "checksum",
     )
-    return dec.unionAll(fr).unionAll(wav).unionAll(rs).unionAll(png).unionAll(rpng)
+    from nginx_log_spark.functions.multimodal import (
+        decode_media_routed,
+        synth_routed_media_df,
+    )
+
+    routed = decode_media_routed(synth_routed_media_df(spark, 18), fake=False).select(
+        F.lit("routed").alias("kind"), "media_id", "media_type",
+        F.lit(-1).cast("int").alias("n_bytes"),
+        F.lit(-1).cast("int").alias("width"),
+        F.lit(-1).cast("int").alias("height"),
+        F.coalesce("n_frames", F.lit(-1)).cast("int").alias("n_frames"),
+        F.lit(-1).cast("int").alias("frame_idx"),
+        F.concat(
+            F.col("status"), F.lit(":"), F.coalesce(F.col("checksum"), F.lit(""))
+        ).alias("checksum"),
+    )
+    return (
+        dec.unionAll(fr).unionAll(wav).unionAll(rs)
+        .unionAll(png).unionAll(rpng).unionAll(routed)
+    )
 
 
 def _feat_oracle_cols() -> str:

@@ -762,6 +762,31 @@ def synth_wav_df(spark, n: int = 48) -> DataFrame:
     return spark.createDataFrame(pd.DataFrame(rows), schema=MEDIA_SCHEMA)
 
 
+def synth_routed_media_df(spark, n: int = 18) -> DataFrame:
+    """Deterministic mixed frame for the reject-sink routing oracle:
+    row i%3 == 0 is a well-formed PCM16 WAV (decodes ok), == 1 a
+    truncated binary PPM (corrupt container -> reject), == 2 a
+    JPEG-magic payload (external-codec seam -> unsupported)."""
+    rows = []
+    for i in range(n):
+        c = i % 3
+        if c == 0:
+            payload, mt = synth_wav_payload(i), "audio"
+        elif c == 1:
+            payload, mt = synth_ppm_payload(i)[:-5], "image"
+        else:
+            payload, mt = b"\xff\xd8\xff\xe0\x00\x10JFIF", "image"
+        rows.append(
+            {
+                "media_id": f"r{i:05d}",
+                "media_type": mt,
+                "payload": bytearray(payload),
+                "n_bytes": len(payload),
+            }
+        )
+    return spark.createDataFrame(pd.DataFrame(rows), schema=MEDIA_SCHEMA)
+
+
 def synth_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic fake media table for tests and the driver oracle."""
     types = ["image", "audio", "video"]
