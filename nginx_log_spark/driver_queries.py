@@ -2045,8 +2045,59 @@ SELECT media_id, 'image' AS media_type, -1 AS n_bytes,
 FROM p
 """
 
+# REAL-codec JPEG branch: Spark entropy-decodes genuine baseline
+# grayscale JPEG containers (functions/jpeg.py — marker walk, canonical
+# Huffman tables built from the DHT segments, byte-stuffed bit reader,
+# DC-difference + AC run/size decode, dequantize, matrix IDCT). The
+# fixtures are per-8x8-block CONSTANT images encoded with the all-ones
+# quantization table, so the round trip is EXACT (only the DC
+# coefficient 8*(v-128) survives and q=1 quantizes it losslessly) and
+# the oracle regenerates the DECODED raster in closed form: pixel j of
+# row i has block b = (y//8)*bx + (x//8) and value (i*37 + b*29) % 256.
+# n_bytes is -1 on both sides: the container length depends on the
+# Huffman bitstream, which SQL cannot regenerate (checksum parity over
+# the decoded content is unaffected). A marker-walk, Huffman, dequant,
+# or IDCT bug on the Spark side hash-mismatches.
+_JPEG_DECODE_O = """
+WITH p AS (
+  SELECT i, printf('j%05d', i) AS media_id,
+         8 * (1 + i % 3) AS w, 8 * (1 + i % 2) AS h, 1 + i % 3 AS bx
+  FROM range(0, 32) t(i)
+)
+SELECT media_id, 'image' AS media_type, -1 AS n_bytes,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       md5(array_to_string(
+         [CAST((i * 37 + (((j // w) // 8) * bx + ((j % w) // 8)) * 29) % 256
+               AS VARCHAR)
+          for j in range(0, w * h)], ',')) AS checksum
+FROM p
+"""
+
+# REAL-codec JPEG resize branch: decode -> nearest-neighbor resize to
+# 6x5 (same integer map as the PPM/PNG paths: src = (dst*src_dim) //
+# dst_dim) -> re-encode (multimodal._resize_jpeg). The checksum is over
+# the resized raster computed BEFORE re-encode (JPEG re-encode is lossy
+# up to DCT float rounding), so the oracle regenerates it exactly: output
+# pixel idx maps to source (sy, sx) = ((idx//6 * h)//5, ((idx%6) * w)//6)
+# and value (i*37 + ((sy//8)*bx + (sx//8))*29) % 256.
+_JPEG_RESIZE_O = """
+WITH p AS (
+  SELECT i, printf('j%05d', i) AS media_id,
+         8 * (1 + i % 3) AS w, 8 * (1 + i % 2) AS h, 1 + i % 3 AS bx
+  FROM range(0, 32) t(i)
+)
+SELECT media_id, 'image' AS media_type, -1 AS n_bytes,
+       6 AS width, 5 AS height,
+       md5(array_to_string(
+         [CAST((i * 37 + (((((idx // 6) * h) // 5) // 8) * bx
+                          + ((((idx % 6) * w) // 6) // 8)) * 29) % 256
+               AS VARCHAR)
+          for idx in range(0, 30)], ',')) AS checksum
+FROM p
+"""
+
 # Reject-sink routing branch: a deterministic mixed frame (i%3 = 0 ok WAV,
-# 1 truncated PPM -> reject, 2 JPEG magic -> unsupported) through
+# 1 truncated PPM -> reject, 2 GIF magic -> unsupported) through
 # decode_media_routed (fake=False). The routing outcome rides the checksum
 # column as 'status:checksum' (ok rows carry the real decoded-content
 # checksum after the colon) so the union schema stays fixed; the oracle
@@ -2093,6 +2144,12 @@ UNION ALL
 SELECT 'resize_png' AS kind, media_id, media_type, n_bytes, width, height,
        -1 AS n_frames, -1 AS frame_idx, checksum FROM ({_PNG_RESIZE_O})
 UNION ALL
+SELECT 'decode_jpeg' AS kind, media_id, media_type, n_bytes, width, height,
+       -1 AS n_frames, -1 AS frame_idx, checksum FROM ({_JPEG_DECODE_O})
+UNION ALL
+SELECT 'resize_jpeg' AS kind, media_id, media_type, n_bytes, width, height,
+       -1 AS n_frames, -1 AS frame_idx, checksum FROM ({_JPEG_RESIZE_O})
+UNION ALL
 SELECT 'routed' AS kind, media_id, media_type, n_bytes, width, height,
        n_frames, -1 AS frame_idx, checksum FROM ({_ROUTED_DECODE_O})
 """
@@ -2116,7 +2173,13 @@ def mm_decode_frames(spark, sf):
     (fake=False), checksum over the decoded raster; and 'resize_png'
     rows the decode → nearest-neighbor resize → re-encode round trip
     (multimodal._resize_png, fake=False), checksum over the resized
-    raster; and 'routed' rows the reject-sink contract — a deterministic
+    raster; 'decode_jpeg' / 'resize_jpeg' rows the REAL entropy-coded
+    path — genuine baseline grayscale JPEG containers (functions/
+    jpeg.py: marker walk, DHT-built canonical Huffman, byte-stuffed
+    entropy decode, dequantize, matrix IDCT) decoded and
+    nearest-neighbor-resized, checksums over the decoded/resized rasters
+    (exact by the constant-block + all-ones-qtable construction); and
+    'routed' rows the reject-sink contract — a deterministic
     ok / corrupt / external-format mix through decode_media_routed, the
     routing outcome folded into the checksum column as
     'status:checksum'. Sentinel -1/'' fill the branch-inapplicable
@@ -2172,6 +2235,24 @@ def mm_decode_frames(spark, sf):
         F.lit(-1).cast("int").alias("n_frames"),
         F.lit(-1).cast("int").alias("frame_idx"), "checksum",
     )
+    from nginx_log_spark.functions.multimodal import synth_jpeg_df
+
+    jpg = decode_media(synth_jpeg_df(spark, 32), fake=False).select(
+        F.lit("decode_jpeg").alias("kind"), "media_id", "media_type",
+        F.lit(-1).cast("int").alias("n_bytes"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.lit(-1).cast("int").alias("n_frames"),
+        F.lit(-1).cast("int").alias("frame_idx"), "checksum",
+    )
+    rjpg = resize_media(synth_jpeg_df(spark, 32), 6, 5, fake=False).select(
+        F.lit("resize_jpeg").alias("kind"), "media_id", "media_type",
+        F.lit(-1).cast("int").alias("n_bytes"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.lit(-1).cast("int").alias("n_frames"),
+        F.lit(-1).cast("int").alias("frame_idx"), "checksum",
+    )
     from nginx_log_spark.functions.multimodal import (
         decode_media_routed,
         synth_routed_media_df,
@@ -2190,7 +2271,8 @@ def mm_decode_frames(spark, sf):
     )
     return (
         dec.unionAll(fr).unionAll(wav).unionAll(rs)
-        .unionAll(png).unionAll(rpng).unionAll(routed)
+        .unionAll(png).unionAll(rpng).unionAll(jpg).unionAll(rjpg)
+        .unionAll(routed)
     )
 
 

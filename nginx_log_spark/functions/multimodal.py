@@ -7,11 +7,13 @@ batch shape, partition behavior) is real and tested. The codec call is
 isolated in ``_decode_bytes``: with ``fake=True`` it derives deterministic
 pseudo-metadata from the bytes; with ``fake=False`` it REALLY parses the
 containers implementable with zero dependencies — RIFF/WAVE PCM audio
-(chunk walk, fmt/data parse, int16 samples), binary PPM (P6) images, and
+(chunk walk, fmt/data parse, int16 samples), binary PPM (P6) images,
 8-bit gray/gray+alpha/RGB/RGBA PNG (CRC-verified chunk walk, zlib
-inflate, per-scanline unfilter) — and raises NotImplementedError only
-for formats that genuinely need an external library (JPEG/MP4: PIL /
-soundfile / pyav would plug in at the same seam).
+inflate, per-scanline unfilter), and baseline sequential GRAYSCALE JPEG
+(marker walk, DHT-driven Huffman entropy decode, dequantize, IDCT — see
+functions/jpeg.py) — and raises NotImplementedError only for formats
+that genuinely need an external library (color/progressive JPEG, GIF,
+MP4: PIL / soundfile / pyav would plug in at the same seam).
 
 Real-decode checksum semantics: md5 over the DECODED canonical content
 (comma-joined sample/pixel integers), not the container bytes — the
@@ -274,12 +276,34 @@ def _decode_png(payload: bytes) -> dict:
     }
 
 
+def _decode_jpeg(payload: bytes) -> dict:
+    """Baseline grayscale JPEG decode via functions.jpeg.decode_jpeg_gray
+    (real marker walk + Huffman entropy decode + dequant + IDCT). Checksum
+    follows the module convention — md5 over the DECODED pixel bytes
+    (content identity: a re-encoded container of the same raster, e.g.
+    with different Huffman tables, collides)."""
+    import hashlib
+
+    from nginx_log_spark.functions.jpeg import decode_jpeg_gray
+
+    width, height, pixels = decode_jpeg_gray(payload)
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": None,
+        "checksum": hashlib.md5(
+            ",".join(str(b) for b in pixels).encode()
+        ).hexdigest(),
+    }
+
+
 def _decode_bytes(payload: bytes, media_type: str, fake: bool) -> dict:
     """THE codec seam. fake=True derives deterministic pseudo-metadata from
     the payload bytes; fake=False really decodes the zero-dependency
     containers (RIFF/WAVE PCM, binary PPM, 8-bit gray/gray+alpha/RGB/RGBA
-    PNG) and raises NotImplementedError for formats that need an external
-    codec (PIL / soundfile / pyav would plug in here)."""
+    PNG, baseline grayscale JPEG) and raises NotImplementedError for
+    formats that need an external codec (PIL / soundfile / pyav would
+    plug in here)."""
     if not fake:
         payload = bytes(payload)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -288,10 +312,13 @@ def _decode_bytes(payload: bytes, media_type: str, fake: bool) -> dict:
             return _decode_ppm(payload)
         if payload[:8] == _PNG_SIG:
             return _decode_png(payload)
+        if payload[:2] == b"\xff\xd8":
+            return _decode_jpeg(payload)
         raise NotImplementedError(
-            "real decode supports RIFF/WAVE PCM, binary PPM, and 8-bit "
-            "gray/gray+alpha/RGB/RGBA PNG; other formats (JPEG/MP4/...) "
-            "need PIL/soundfile/pyav, which are not available in this "
+            "real decode supports RIFF/WAVE PCM, binary PPM, 8-bit "
+            "gray/gray+alpha/RGB/RGBA PNG, and baseline grayscale JPEG; "
+            "other formats (GIF/MP4/color JPEG/...) need "
+            "PIL/soundfile/pyav, which are not available in this "
             "environment"
         )
     import hashlib
@@ -505,6 +532,32 @@ def _resize_png(payload: bytes, out_w: int, out_h: int) -> dict:
     }
 
 
+def _resize_jpeg(payload: bytes, out_w: int, out_h: int) -> dict:
+    """Real nearest-neighbor resize of a baseline grayscale JPEG: decode
+    through functions.jpeg (Huffman + dequant + IDCT), index the raster
+    with the same integer map the PPM/PNG paths use — src =
+    (dst * src_dim) // dst_dim — and re-encode with the all-ones
+    quantization table. Checksum follows the module convention: md5 over
+    the DECODED resized pixel bytes (computed BEFORE re-encode — JPEG
+    re-encoding is lossy up to DCT float rounding, so content identity
+    anchors on the resized raster, not the container)."""
+    import hashlib
+
+    from nginx_log_spark.functions.jpeg import decode_jpeg_gray, encode_jpeg_gray
+
+    w, h, pixels = decode_jpeg_gray(payload)
+    raster = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w)
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    resized = raster[ys][:, xs]
+    return {
+        "payload": encode_jpeg_gray(resized),
+        "checksum": hashlib.md5(
+            ",".join(str(b) for b in resized.tobytes()).encode()
+        ).hexdigest(),
+    }
+
+
 def resize_media(
     df: DataFrame, out_w: int, out_h: int, fake: bool = True
 ) -> DataFrame:
@@ -512,13 +565,14 @@ def resize_media(
     time (the brief's decode/feature/RESIZE/frame-sample quartet). With
     fake=True the output payload is None and the checksum is a
     deterministic function of (container md5, out dims) — the Spark-side
-    plumbing without a codec. With fake=False, binary-PPM and PNG
-    payloads are REALLY resized (nearest-neighbor, re-encoded in their
-    own container format — round-trips through _decode_ppm/_png_raster);
-    other formats raise NotImplementedError at the same seam as
-    _decode_bytes, and corrupt containers raise ValueError (reject-sink
-    route, never silently faked). Non-image rows pass through untouched
-    at their original dims with a null payload/checksum."""
+    plumbing without a codec. With fake=False, binary-PPM, PNG, and
+    baseline grayscale JPEG payloads are REALLY resized (nearest-neighbor,
+    re-encoded in their own container format — round-trips through
+    _decode_ppm/_png_raster/functions.jpeg); other formats raise
+    NotImplementedError at the same seam as _decode_bytes, and corrupt
+    containers raise ValueError (reject-sink route, never silently
+    faked). Non-image rows pass through untouched at their original dims
+    with a null payload/checksum."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -545,11 +599,13 @@ def resize_media(
                     r = _resize_ppm(b, out_w, out_h)
                 elif b[:8] == _PNG_SIG:
                     r = _resize_png(b, out_w, out_h)
+                elif b[:2] == b"\xff\xd8":
+                    r = _resize_jpeg(b, out_w, out_h)
                 else:
                     raise NotImplementedError(
-                        "real resize supports binary PPM and 8-bit PNG; "
-                        "other formats need PIL, which is not available "
-                        "in this environment"
+                        "real resize supports binary PPM, 8-bit PNG, and "
+                        "baseline grayscale JPEG; other formats need PIL, "
+                        "which is not available in this environment"
                     )
                 out_rows.append(
                     (media_id, media_type, out_w, out_h,
@@ -692,6 +748,42 @@ def synth_png_df(spark, n: int = 32) -> DataFrame:
     return spark.createDataFrame(pd.DataFrame(rows), schema=MEDIA_SCHEMA)
 
 
+def synth_jpeg_payload(i: int) -> bytes:
+    """A REAL baseline grayscale JPEG for row i: w = 8*(1 + i%3),
+    h = 8*(1 + i%2), 8x8 block b (row-major) is the CONSTANT value
+    v = (i*37 + b*29) % 256, encoded with the all-ones quantization
+    table. Constant blocks carry only the DC coefficient 8*(v-128),
+    which quantizes losslessly at q=1, so the decode round trip is EXACT
+    — pure integer arithmetic, exactly regenerable by an oracle
+    (functions/jpeg.py module docstring spells out the argument)."""
+    from nginx_log_spark.functions.jpeg import encode_jpeg_gray
+
+    w, h = 8 * (1 + i % 3), 8 * (1 + i % 2)
+    bx = w // 8
+    img = np.zeros((h, w), dtype=np.uint8)
+    for b in range(bx * (h // 8)):
+        y0, x0 = (b // bx) * 8, (b % bx) * 8
+        img[y0 : y0 + 8, x0 : x0 + 8] = (i * 37 + b * 29) % 256
+    return encode_jpeg_gray(img)
+
+
+def synth_jpeg_df(spark, n: int = 32) -> DataFrame:
+    """Deterministic REAL-JPEG media table (media_type='image') for the
+    real-codec decode path and its driver oracle."""
+    rows = []
+    for i in range(n):
+        payload = synth_jpeg_payload(i)
+        rows.append(
+            {
+                "media_id": f"j{i:05d}",
+                "media_type": "image",
+                "payload": bytearray(payload),
+                "n_bytes": len(payload),
+            }
+        )
+    return spark.createDataFrame(pd.DataFrame(rows), schema=MEDIA_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling PLAN: one output row per sampled frame index,
     computed from decoded n_frames — native explode, no Python. The actual
@@ -766,7 +858,9 @@ def synth_routed_media_df(spark, n: int = 18) -> DataFrame:
     """Deterministic mixed frame for the reject-sink routing oracle:
     row i%3 == 0 is a well-formed PCM16 WAV (decodes ok), == 1 a
     truncated binary PPM (corrupt container -> reject), == 2 a
-    JPEG-magic payload (external-codec seam -> unsupported)."""
+    GIF-magic payload (external-codec seam -> unsupported; GIF's LZW
+    decode stays behind the seam — JPEG no longer qualifies since the
+    baseline grayscale codec in functions/jpeg.py is real)."""
     rows = []
     for i in range(n):
         c = i % 3
@@ -775,7 +869,7 @@ def synth_routed_media_df(spark, n: int = 18) -> DataFrame:
         elif c == 1:
             payload, mt = synth_ppm_payload(i)[:-5], "image"
         else:
-            payload, mt = b"\xff\xd8\xff\xe0\x00\x10JFIF", "image"
+            payload, mt = b"GIF89a\x10\x00\x10\x00\x80\x00\x00", "image"
         rows.append(
             {
                 "media_id": f"r{i:05d}",

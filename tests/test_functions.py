@@ -350,8 +350,12 @@ def test_multimodal_decode_and_features(spark):
 def test_multimodal_real_decode_raises(spark):
     from nginx_log_spark.functions.multimodal import _decode_bytes
 
-    # unrecognized container (JPEG magic) -> the declared external-codec seam
+    # unrecognized container (GIF magic) -> the declared external-codec seam
     with pytest.raises(NotImplementedError):
+        _decode_bytes(b"GIF89a\x10\x00\x10\x00\x80\x00\x00", "image", fake=False)
+    # JPEG is a real codec now — a JPEG-magic payload with no scan is a
+    # CORRUPT container (reject sink), not an unsupported format
+    with pytest.raises(ValueError):
         _decode_bytes(b"\xff\xd8\xff\xe0\x00\x10JFIF", "image", fake=False)
 
 
@@ -523,6 +527,81 @@ def test_multimodal_png_resize():
         _resize_png(synth_png_payload(3)[:-2], 2, 2)
 
 
+def test_multimodal_real_jpeg_decode(spark):
+    """REAL entropy-coded image path: genuine baseline grayscale JPEG
+    containers decoded end-to-end through the mapInPandas operator —
+    marker walk, canonical Huffman built FROM the DHT segments,
+    byte-stuffed entropy reader, DC-difference + AC run/size decode,
+    dequantize, matrix IDCT. The block-constant + all-ones-qtable
+    fixtures round-trip EXACTLY (only the losslessly-quantized DC
+    coefficient survives); a general image at q=1 reconstructs within
+    +-1 (DCT float rounding); corrupt containers raise ValueError and
+    out-of-scope JPEG variants raise NotImplementedError at the seam."""
+    import hashlib
+
+    import numpy as np
+
+    from nginx_log_spark.functions.jpeg import decode_jpeg_gray, encode_jpeg_gray
+    from nginx_log_spark.functions.multimodal import (
+        _decode_bytes,
+        decode_media,
+        synth_jpeg_df,
+        synth_jpeg_payload,
+    )
+
+    dec = decode_media(synth_jpeg_df(spark, 12), fake=False).toPandas()
+    assert len(dec) == 12
+    for r in dec.itertuples():
+        i = int(r.media_id[1:])
+        w, h, bx = 8 * (1 + i % 3), 8 * (1 + i % 2), 1 + i % 3
+        assert (r.width, r.height) == (w, h) and pd.isna(r.n_frames)
+        want = hashlib.md5(
+            ",".join(
+                str((i * 37 + (((j // w) // 8) * bx + ((j % w) // 8)) * 29) % 256)
+                for j in range(w * h)
+            ).encode()
+        ).hexdigest()
+        assert r.checksum == want
+    # container identity != content identity: the same raster encoded with
+    # a DIFFERENT (uniform q=2, still DC-lossless for even DC) container
+    # does not apply here — instead pin that a bit-identical re-encode of
+    # the decoded raster collides (both containers carry the same content)
+    p = synth_jpeg_payload(9)
+    w, h, raster = decode_jpeg_gray(p)
+    img = np.frombuffer(raster, dtype=np.uint8).reshape(h, w)
+    p2 = encode_jpeg_gray(img)
+    assert _decode_bytes(p2, "image", fake=False)["checksum"] == \
+        _decode_bytes(p, "image", fake=False)["checksum"]
+    # general (non-constant) image at q=1: within +-1 of the source
+    src = ((np.add.outer(np.arange(21) * 13, np.arange(19) * 7)) % 200 + 20
+           ).astype(np.uint8)
+    gw, gh, graster = decode_jpeg_gray(encode_jpeg_gray(src))
+    got = np.frombuffer(graster, dtype=np.uint8).reshape(gh, gw)
+    assert (gw, gh) == (19, 21)
+    assert np.abs(got.astype(int) - src.astype(int)).max() <= 1
+    # a lossy quantization table still decodes (coarse but close)
+    lw, lh, lraster = decode_jpeg_gray(encode_jpeg_gray(src, qtable=[16] * 64))
+    lossy = np.frombuffer(lraster, dtype=np.uint8).reshape(lh, lw)
+    assert np.abs(lossy.astype(int) - src.astype(int)).mean() < 16
+    # corrupt containers -> ValueError, never silent fakes
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(p[:-1])  # missing EOI
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(p[: len(p) // 2])  # truncated mid-scan
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(b"\xff\xd8\xff\xd9")  # no scan at all
+    # out-of-scope variants -> the external-codec seam
+    prog = bytearray(p)
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg_gray(bytes(prog))
+    color = bytearray(p)
+    color[sof + 9] = 3  # Nf: 1 component -> 3 (color)
+    with pytest.raises(NotImplementedError, match="color"):
+        decode_jpeg_gray(bytes(color))
+
+
 def test_multimodal_decode_exception_contract():
     """Fuzz pin for the reject-sink routing contract: for ARBITRARY bytes
     (random blobs, and single-byte mutations / truncations of genuine
@@ -537,12 +616,14 @@ def test_multimodal_decode_exception_contract():
 
     from nginx_log_spark.functions.multimodal import (
         _decode_bytes,
+        synth_jpeg_payload,
         synth_png_payload,
         synth_ppm_payload,
         synth_wav_payload,
     )
 
-    bases = [synth_wav_payload(3), synth_ppm_payload(4), synth_png_payload(5)]
+    bases = [synth_wav_payload(3), synth_ppm_payload(4), synth_png_payload(5),
+             synth_jpeg_payload(7)]
 
     mutated = st.builds(
         lambda base, cut, pos, val: (base[:cut] if cut is not None
@@ -567,7 +648,7 @@ def test_multimodal_decode_exception_contract():
 
 def test_multimodal_decode_media_routed(spark):
     """Routed decode: one Arrow batch mixing a well-formed WAV, a corrupt
-    PPM, and a JPEG-magic payload yields ok / reject / unsupported rows —
+    PPM, and a GIF-magic payload yields ok / reject / unsupported rows —
     the job completes and downstream fans out on `status` exactly like
     the log router's parse-failure sink."""
     import pandas as pd
@@ -587,7 +668,7 @@ def test_multimodal_decode_media_routed(spark):
         {"media_id": "bad", "media_type": "image",
          "payload": bytearray(synth_ppm_payload(2)[:-5]), "n_bytes": 10},
         {"media_id": "unsup", "media_type": "image",
-         "payload": bytearray(b"\xff\xd8\xff\xe0\x00\x10JFIF"), "n_bytes": 8},
+         "payload": bytearray(b"GIF89a\x10\x00\x10\x00\x80\x00\x00"), "n_bytes": 13},
     ]
     df = spark.createDataFrame(pd.DataFrame(rows), schema=MEDIA_SCHEMA)
     out = {r["media_id"]: r for r in decode_media_routed(df, fake=False).collect()}
@@ -601,17 +682,19 @@ def test_multimodal_decode_media_routed(spark):
 
 def test_multimodal_resize_dispatch(spark):
     """resize_media(fake=False) dispatches per container magic inside one
-    Arrow batch — PPM and PNG rows in the SAME frame each resize through
-    their own codec and re-encode in their own format — and an image
-    payload in a format without a stdlib codec raises NotImplementedError
-    at the documented seam (never a silent fake)."""
+    Arrow batch — PPM, PNG, and JPEG rows in the SAME frame each resize
+    through their own codec and re-encode in their own format — and an
+    image payload in a format without a stdlib codec raises
+    NotImplementedError at the documented seam (never a silent fake)."""
     import pandas as pd
 
     from nginx_log_spark.functions.multimodal import (
         MEDIA_SCHEMA,
+        _decode_jpeg,
         _decode_png,
         _ppm_header,
         resize_media,
+        synth_jpeg_payload,
         synth_png_payload,
         synth_ppm_payload,
     )
@@ -621,6 +704,8 @@ def test_multimodal_resize_dispatch(spark):
          "payload": bytearray(synth_ppm_payload(4)), "n_bytes": 0},
         {"media_id": "b", "media_type": "image",
          "payload": bytearray(synth_png_payload(5)), "n_bytes": 0},
+        {"media_id": "j", "media_type": "image",
+         "payload": bytearray(synth_jpeg_payload(6)), "n_bytes": 0},
     ]
     df = spark.createDataFrame(pd.DataFrame(rows), schema=MEDIA_SCHEMA)
     out = {r["media_id"]: r for r in resize_media(df, 3, 2, fake=False).collect()}
@@ -628,10 +713,18 @@ def test_multimodal_resize_dispatch(spark):
     d = _decode_png(bytes(out["b"]["payload"]))
     assert (d["width"], d["height"]) == (3, 2)
     assert d["checksum"] == out["b"]["checksum"]
+    # the JPEG row re-encodes as a decodable 3x2 grayscale JPEG; its
+    # checksum anchors on the pre-encode resized raster, and because
+    # fixture 6 is a single 8x8 block (globally constant) the resized
+    # raster is constant too, so the q=1 container round-trips it exactly
+    dj = _decode_jpeg(bytes(out["j"]["payload"]))
+    assert (dj["width"], dj["height"]) == (3, 2)
+    assert dj["checksum"] == out["j"]["checksum"]
 
-    jpegish = [{"media_id": "c", "media_type": "image",
-                "payload": bytearray(b"\xff\xd8\xff\xe0\x00\x10JFIF"), "n_bytes": 8}]
-    bad = spark.createDataFrame(pd.DataFrame(jpegish), schema=MEDIA_SCHEMA)
+    gifish = [{"media_id": "c", "media_type": "image",
+               "payload": bytearray(b"GIF89a\x10\x00\x10\x00\x80\x00\x00"),
+               "n_bytes": 13}]
+    bad = spark.createDataFrame(pd.DataFrame(gifish), schema=MEDIA_SCHEMA)
     with pytest.raises(Exception, match="real resize supports"):
         resize_media(bad, 3, 2, fake=False).collect()
 
