@@ -2096,6 +2096,34 @@ SELECT media_id, 'image' AS media_type, -1 AS n_bytes,
 FROM p
 """
 
+# REAL-container MP4 branch: Spark walks genuine ISO-BMFF box trees
+# (functions/mp4.py — ftyp validation, mvhd timescale/duration, tkhd
+# 16.16 fixed-point dims, and a sample-table-driven demux: stsz sizes +
+# stco chunk offset slice the samples out of mdat, stts cross-checks the
+# count). n_frames is the REAL sample count; the checksum is md5 over
+# the DEMUXED sample bytes, which the oracle regenerates from the
+# synth_mp4_frames integer formula; n_bytes is the closed-form container
+# size 336 + 4n + sum(sample sizes) (fixed box overhead + 4 bytes of
+# stsz per sample + mdat payload, asserted against the muxer in
+# tests). A box-walk, sample-table, or demux bug hash-mismatches.
+_MP4_DECODE_O = """
+WITH p AS (
+  SELECT i, printf('v%05d', i) AS media_id, 2 + i % 5 AS n
+  FROM range(0, 32) t(i)
+)
+SELECT media_id, 'video' AS media_type,
+       CAST(336 + 4 * n + list_sum([3 + (i + k) % 6 for k in range(0, n)])
+            AS INT) AS n_bytes,
+       CAST(16 * (1 + i % 3) AS INT) AS width,
+       CAST(16 * (1 + i % 2) AS INT) AS height,
+       CAST(n AS INT) AS n_frames,
+       md5(array_to_string(
+         flatten([[CAST((i * 31 + k * 17 + j * 7) % 256 AS VARCHAR)
+                   for j in range(0, 3 + (i + k) % 6)]
+                  for k in range(0, n)]), ',')) AS checksum
+FROM p
+"""
+
 # Reject-sink routing branch: a deterministic mixed frame (i%3 = 0 ok WAV,
 # 1 truncated PPM -> reject, 2 GIF magic -> unsupported) through
 # decode_media_routed (fake=False). The routing outcome rides the checksum
@@ -2150,6 +2178,9 @@ UNION ALL
 SELECT 'resize_jpeg' AS kind, media_id, media_type, n_bytes, width, height,
        -1 AS n_frames, -1 AS frame_idx, checksum FROM ({_JPEG_RESIZE_O})
 UNION ALL
+SELECT 'decode_mp4' AS kind, media_id, media_type, n_bytes, width, height,
+       n_frames, -1 AS frame_idx, checksum FROM ({_MP4_DECODE_O})
+UNION ALL
 SELECT 'routed' AS kind, media_id, media_type, n_bytes, width, height,
        n_frames, -1 AS frame_idx, checksum FROM ({_ROUTED_DECODE_O})
 """
@@ -2178,7 +2209,10 @@ def mm_decode_frames(spark, sf):
     jpeg.py: marker walk, DHT-built canonical Huffman, byte-stuffed
     entropy decode, dequantize, matrix IDCT) decoded and
     nearest-neighbor-resized, checksums over the decoded/resized rasters
-    (exact by the constant-block + all-ones-qtable construction); and
+    (exact by the constant-block + all-ones-qtable construction);
+    'decode_mp4' rows the REAL video-container path — genuine ISO-BMFF
+    box trees (functions/mp4.py) with n_frames from the actual sample
+    table and the checksum over the stsz/stco-demuxed mdat samples; and
     'routed' rows the reject-sink contract — a deterministic
     ok / corrupt / external-format mix through decode_media_routed, the
     routing outcome folded into the checksum column as
@@ -2253,6 +2287,16 @@ def mm_decode_frames(spark, sf):
         F.lit(-1).cast("int").alias("n_frames"),
         F.lit(-1).cast("int").alias("frame_idx"), "checksum",
     )
+    from nginx_log_spark.functions.multimodal import synth_mp4_df
+
+    mp4 = decode_media(synth_mp4_df(spark, 32), fake=False).select(
+        F.lit("decode_mp4").alias("kind"), "media_id", "media_type",
+        F.col("n_bytes").cast("int").alias("n_bytes"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("n_frames").cast("int").alias("n_frames"),
+        F.lit(-1).cast("int").alias("frame_idx"), "checksum",
+    )
     from nginx_log_spark.functions.multimodal import (
         decode_media_routed,
         synth_routed_media_df,
@@ -2272,7 +2316,7 @@ def mm_decode_frames(spark, sf):
     return (
         dec.unionAll(fr).unionAll(wav).unionAll(rs)
         .unionAll(png).unionAll(rpng).unionAll(jpg).unionAll(rjpg)
-        .unionAll(routed)
+        .unionAll(mp4).unionAll(routed)
     )
 
 

@@ -297,13 +297,37 @@ def _decode_jpeg(payload: bytes) -> dict:
     }
 
 
+def _decode_mp4(payload: bytes) -> dict:
+    """Real ISO-BMFF parse via functions.mp4.parse_mp4: box-tree walk,
+    mvhd/tkhd metadata, sample-table-driven (stsz + stco) frame demux out
+    of mdat. n_frames comes from the REAL sample table. Checksum follows
+    the module convention — md5 over the DEMUXED sample bytes (content
+    identity: a remuxed container of the same samples collides). Decoding
+    the sample bytes into pixels (H.264/AV1) stays behind the
+    external-codec seam."""
+    import hashlib
+
+    from nginx_log_spark.functions.mp4 import parse_mp4
+
+    m = parse_mp4(payload)
+    joined = b"".join(m["frames"])
+    return {
+        "width": m["width"],
+        "height": m["height"],
+        "n_frames": m["n_frames"],
+        "checksum": hashlib.md5(
+            ",".join(str(b) for b in joined).encode()
+        ).hexdigest(),
+    }
+
+
 def _decode_bytes(payload: bytes, media_type: str, fake: bool) -> dict:
     """THE codec seam. fake=True derives deterministic pseudo-metadata from
     the payload bytes; fake=False really decodes the zero-dependency
     containers (RIFF/WAVE PCM, binary PPM, 8-bit gray/gray+alpha/RGB/RGBA
-    PNG, baseline grayscale JPEG) and raises NotImplementedError for
-    formats that need an external codec (PIL / soundfile / pyav would
-    plug in here)."""
+    PNG, baseline grayscale JPEG, single-track ISO-BMFF/MP4 demux) and
+    raises NotImplementedError for formats that need an external codec
+    (PIL / soundfile / pyav would plug in here)."""
     if not fake:
         payload = bytes(payload)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -314,10 +338,13 @@ def _decode_bytes(payload: bytes, media_type: str, fake: bool) -> dict:
             return _decode_png(payload)
         if payload[:2] == b"\xff\xd8":
             return _decode_jpeg(payload)
+        if payload[4:8] == b"ftyp":
+            return _decode_mp4(payload)
         raise NotImplementedError(
             "real decode supports RIFF/WAVE PCM, binary PPM, 8-bit "
-            "gray/gray+alpha/RGB/RGBA PNG, and baseline grayscale JPEG; "
-            "other formats (GIF/MP4/color JPEG/...) need "
+            "gray/gray+alpha/RGB/RGBA PNG, baseline grayscale JPEG, and "
+            "single-track MP4 (container demux); other formats (GIF, "
+            "codec'd video frames, color JPEG, ...) need "
             "PIL/soundfile/pyav, which are not available in this "
             "environment"
         )
@@ -777,6 +804,46 @@ def synth_jpeg_df(spark, n: int = 32) -> DataFrame:
             {
                 "media_id": f"j{i:05d}",
                 "media_type": "image",
+                "payload": bytearray(payload),
+                "n_bytes": len(payload),
+            }
+        )
+    return spark.createDataFrame(pd.DataFrame(rows), schema=MEDIA_SCHEMA)
+
+
+def synth_mp4_frames(i: int) -> list[bytes]:
+    """Row i's demuxed samples: n = 2 + i%5 frames, frame k is
+    3 + (i+k) % 6 bytes, byte j of frame k = (i*31 + k*17 + j*7) % 256 —
+    pure integer arithmetic, exactly regenerable by an oracle."""
+    return [
+        bytes((i * 31 + k * 17 + j * 7) % 256 for j in range(3 + (i + k) % 6))
+        for k in range(2 + i % 5)
+    ]
+
+
+def synth_mp4_payload(i: int) -> bytes:
+    """A REAL single-track ISO-BMFF container for row i: genuine box tree
+    (ftyp/moov/mvhd/trak/tkhd/mdia/minf/stbl/stts/stsz/stco/mdat), the
+    synth_mp4_frames samples in mdat, dims 16*(1+i%3) x 16*(1+i%2),
+    duration n_frames*100 ms. parse_mp4 demuxes the exact frames back."""
+    from nginx_log_spark.functions.mp4 import encode_mp4
+
+    frames = synth_mp4_frames(i)
+    return encode_mp4(
+        frames, 16 * (1 + i % 3), 16 * (1 + i % 2), len(frames) * 100
+    )
+
+
+def synth_mp4_df(spark, n: int = 32) -> DataFrame:
+    """Deterministic REAL-MP4 media table (media_type='video') for the
+    real-container demux path and its driver oracle."""
+    rows = []
+    for i in range(n):
+        payload = synth_mp4_payload(i)
+        rows.append(
+            {
+                "media_id": f"v{i:05d}",
+                "media_type": "video",
                 "payload": bytearray(payload),
                 "n_bytes": len(payload),
             }

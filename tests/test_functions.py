@@ -602,6 +602,63 @@ def test_multimodal_real_jpeg_decode(spark):
         decode_jpeg_gray(bytes(color))
 
 
+def test_multimodal_real_mp4_decode(spark):
+    """REAL video-container path: genuine ISO-BMFF box trees parsed
+    end-to-end through the mapInPandas operator — ftyp validation, mvhd
+    duration/timescale, tkhd 16.16 fixed-point dims, and a sample-table-
+    driven demux (stsz sizes + stco offset slice the samples out of mdat,
+    stts cross-checks the count). n_frames is the REAL sample count; the
+    checksum anchors on the demuxed sample bytes (a remuxed container of
+    the same samples collides); corrupt containers raise ValueError.
+    Decoding sample bytes into pixels stays behind the seam."""
+    import hashlib
+    import struct
+
+    from nginx_log_spark.functions.mp4 import encode_mp4, parse_mp4
+    from nginx_log_spark.functions.multimodal import (
+        decode_media,
+        synth_mp4_df,
+        synth_mp4_frames,
+        synth_mp4_payload,
+    )
+
+    dec = decode_media(synth_mp4_df(spark, 12), fake=False).toPandas()
+    assert len(dec) == 12
+    for r in dec.itertuples():
+        i = int(r.media_id[1:])
+        frames = synth_mp4_frames(i)
+        assert r.n_frames == len(frames)
+        assert (r.width, r.height) == (16 * (1 + i % 3), 16 * (1 + i % 2))
+        want = hashlib.md5(
+            ",".join(str(b) for b in b"".join(frames)).encode()
+        ).hexdigest()
+        assert r.checksum == want
+        # closed-form container size the oracle relies on
+        assert r.n_bytes == 336 + 4 * len(frames) + sum(len(f) for f in frames)
+    # demux round trip + duration math
+    p = synth_mp4_payload(3)
+    m = parse_mp4(p)
+    assert m["frames"] == synth_mp4_frames(3)
+    assert m["duration_ms"] == len(m["frames"]) * 100
+    # a frame whose BYTES contain the stco box pattern still demuxes
+    # (the muxer patches the header prefix, never mdat)
+    evil = [b"\x00\x00\x00\x00" + struct.pack(">II", 1, 0) + b"zz"]
+    assert parse_mp4(encode_mp4(evil, 8, 8, 40))["frames"] == evil
+    # corrupt containers -> ValueError, never silent fakes
+    with pytest.raises(ValueError):
+        parse_mp4(p[:20])  # truncated before moov
+    with pytest.raises(ValueError):
+        parse_mp4(p[:-3])  # sample table points past mdat
+    with pytest.raises(ValueError):
+        parse_mp4(b"xxxx" + p[4:])  # missing leading ftyp
+    bad_stsz = bytearray(p)
+    stsz_pos = p.index(b"stsz")
+    # 4 is readable from the 5-entry size table but contradicts stts
+    struct.pack_into(">I", bad_stsz, stsz_pos + 12, 4)
+    with pytest.raises(ValueError, match="sample-table mismatch"):
+        parse_mp4(bytes(bad_stsz))
+
+
 def test_multimodal_decode_exception_contract():
     """Fuzz pin for the reject-sink routing contract: for ARBITRARY bytes
     (random blobs, and single-byte mutations / truncations of genuine
@@ -617,13 +674,14 @@ def test_multimodal_decode_exception_contract():
     from nginx_log_spark.functions.multimodal import (
         _decode_bytes,
         synth_jpeg_payload,
+        synth_mp4_payload,
         synth_png_payload,
         synth_ppm_payload,
         synth_wav_payload,
     )
 
     bases = [synth_wav_payload(3), synth_ppm_payload(4), synth_png_payload(5),
-             synth_jpeg_payload(7)]
+             synth_jpeg_payload(7), synth_mp4_payload(6)]
 
     mutated = st.builds(
         lambda base, cut, pos, val: (base[:cut] if cut is not None
