@@ -635,6 +635,16 @@ def test_multimodal_real_mp4_decode(spark):
         assert r.checksum == want
         # closed-form container size the oracle relies on
         assert r.n_bytes == 336 + 4 * len(frames) + sum(len(f) for f in frames)
+    # the REAL sample counts feed the frame-sampling plan
+    from nginx_log_spark.functions.multimodal import frame_sample_plan
+
+    plan = frame_sample_plan(
+        decode_media(synth_mp4_df(spark, 6), fake=False), every_n=2
+    ).toPandas()
+    for i in range(6):
+        want = list(range(0, len(synth_mp4_frames(i)), 2))
+        got = sorted(plan[plan.media_id == f"v{i:05d}"].frame_idx)
+        assert got == want, (i, got, want)
     # demux round trip + duration math
     p = synth_mp4_payload(3)
     m = parse_mp4(p)
