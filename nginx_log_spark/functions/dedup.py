@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from nginx_log_spark.functions._parallel import ensure_parallelism
+
 
 def _norm(text: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
@@ -95,9 +97,12 @@ def minhash_signatures(
     - 'xxhash64': Spark's native codegen'd hash — no digest string
       materialized at all; same LSH semantics, the 100 TB fast path.
     """
-    out = with_shingles(df.select(id_col, text_col), text_col, shingle_k).select(
-        F.col(id_col), F.col("_sh")
-    )
+    # fan-out guard: a one-row-group corpus file plans as ONE scan task,
+    # which would serialize the whole shingle+hash computation; no-op on
+    # any real multi-split input (see _parallel.ensure_parallelism)
+    out = with_shingles(
+        ensure_parallelism(df.select(id_col, text_col)), text_col, shingle_k
+    ).select(F.col(id_col), F.col("_sh"))
 
     # NB: one-arg lambdas only — pyspark dispatches on lambda arity, so a
     # captured `i=i` default would become the array-index lambda variable.
@@ -173,6 +178,17 @@ def lsh_candidate_pairs(
     exploded = sigs.select(F.col(id_col), F.explode(bands).alias("b")).select(
         id_col, "b.band_idx", "b.band_key"
     )
+    # The banded rows feed up to four plan subtrees (bucket-size agg, the
+    # semi-join probe, and BOTH sides of the self-join) — Catalyst cannot
+    # share one exchange across them, so without materialization the full
+    # upstream signature computation (shingle + hash over the corpus text)
+    # re-runs per subtree (measured 3-4x the one-pass cost). The banded
+    # frame is a lightweight proxy — (id, band_idx, band_key), a few tens
+    # of bytes per doc regardless of doc length — so storing it once and
+    # joining on the stored blocks is the guide's "shuffle keys, not
+    # payloads" shape; blocks are freed by the ContextCleaner with the
+    # result frame.
+    exploded = exploded.localCheckpoint(eager=True)
     if max_bucket is not None:
         small = (
             exploded.groupBy("band_idx", "band_key")
@@ -672,9 +688,11 @@ def prefix_jaccard_pairs(
     all-pairs step anywhere."""
     from pyspark.sql import Window
 
-    sh = with_shingles(df.select(id_col, text_col), text_col, shingle_k).select(
-        F.col(id_col), F.col("_sh")
-    )
+    # fan-out guard for tiny single-split corpora (no-op at scale): the
+    # shingling below otherwise runs in ONE scan task
+    sh = with_shingles(
+        ensure_parallelism(df.select(id_col, text_col)), text_col, shingle_k
+    ).select(F.col(id_col), F.col("_sh"))
     if freq_head_bcast:
         # one shingling pass for the 6 downstream consumers (see docstring
         # cost note); eager is free — this mode collects the head below
@@ -741,8 +759,28 @@ def prefix_jaccard_pairs(
         )
         .select("id_a", "id_b")
     )
-    sa = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa"))
-    sb = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb"))
+    vsh = sh
+    if freq_head_bcast:
+        # Verify-side long recode: array_intersect over ~300-element UTF8
+        # string arrays is the dominant cost of the whole join (measured
+        # 2.6x slower than the identical intersect over longs). Recode
+        # each doc's shingle set as xxhash64 values — EXACT, not
+        # approximate, because we first prove injectivity on this corpus's
+        # vocabulary against the already-materialized frequency table (one
+        # vocab-sized aggregate): zero collisions means the recode is a
+        # bijection on every shingle in play, so all intersection sizes
+        # (and array sizes) are identical to the string computation. On a
+        # collision (probability ~|vocab|^2 / 2^64) we fall back to the
+        # string verify, so the result set can never differ.
+        n_coll = freq.agg(
+            (F.count(F.lit(1)) - F.countDistinct(F.xxhash64("_s"))).alias("c")
+        ).first()["c"]
+        if n_coll == 0:
+            vsh = sh.select(
+                id_col, F.transform("_sh", lambda s: F.xxhash64(s)).alias("_sh")
+            )
+    sa = vsh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa"))
+    sb = vsh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb"))
     if broadcast_verify:
         sa, sb = F.broadcast(sa), F.broadcast(sb)
     joined = cands.join(sa, "id_a").join(sb, "id_b")
