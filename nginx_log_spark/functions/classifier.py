@@ -53,10 +53,14 @@ def _norm_words(df: DataFrame, text_col: str, *keep: str) -> DataFrame:
     text operator in this repo shares: lower, trim, collapse whitespace)."""
     # coalesce: NULL text must behave exactly like empty text (tokenizes
     # to nothing) so nb_score's every-doc-gets-a-row contract holds
+    from nginx_log_spark.functions._parallel import ensure_parallelism
+
     nrm = F.regexp_replace(
         F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+", " "
     )
-    return df.select(
+    # fan-out guard: a single-split corpus scan would otherwise run the
+    # normalize+explode (the dominant cost of fit AND score) in one task
+    return ensure_parallelism(df).select(
         *keep, F.explode(F.split(nrm, " ")).alias("word")
     ).filter(F.length("word") > 0)
 

@@ -515,8 +515,11 @@ def hashed_tf(
     Scale shape: one explode (volume = text volume) + one map-side-
     combined groupBy on uniform (id, bucket) keys. No join, no skew.
     """
+    from nginx_log_spark.functions._parallel import ensure_parallelism
+
     nrm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    words = df.select(
+    # fan-out guard: single-split corpora otherwise explode in one task
+    words = ensure_parallelism(df).select(
         F.col(id_col), F.explode(F.split(nrm, " ")).alias("_w")
     ).filter(F.length("_w") > 0)
     bucket = F.pmod(
@@ -552,6 +555,12 @@ def tfidf_cosine_topk(
     TakeOrderedAndProject. Nothing ever pairs docs against docs.
     """
     tf = hashed_tf(df, dims, text_col, id_col)
+    # tf feeds four disconnected subtrees (document frequencies, the
+    # weight table's three consumers) — without materialization the full
+    # tokenize+hash explode re-runs per subtree. (id, bucket, tf) is a
+    # lightweight proxy of the corpus, so one localCheckpoint replaces
+    # four corpus passes with one.
+    tf = tf.localCheckpoint(eager=True)
     n_docs = df.select(F.count(F.lit(1)).alias("n"))
     dfreq = tf.groupBy("bucket").agg(F.count(F.lit(1)).alias("df"))
     idf = dfreq.crossJoin(F.broadcast(n_docs)).select(

