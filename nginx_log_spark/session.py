@@ -61,4 +61,53 @@ def get_spark(
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _warm_session(spark)
     return spark
+
+
+def _warm_session(spark: SparkSession) -> None:
+    """One tiny untimed job per fresh session: steady-state protocol.
+
+    A local JVM's FIRST job pays executor/task-scheduler spin-up, Janino
+    codegen-compiler init, exchange + broadcast machinery and the parquet
+    reader stack — measured ~2.5-4 s charged to whichever query happens
+    to run first (BENCH.md's steady-state protocol already warms the
+    parse and enrich groups explicitly; this covers every other entry
+    point, e.g. the ops group and the correctness sweep children). The
+    job below touches exactly those paths on a few thousand in-memory
+    rows + a 2-row parquet round-trip (~1 s, amortizes to nothing at any
+    real scale). Opt out with SPARK_GRAFT_SESSION_WARMUP=0.
+    """
+    if os.environ.get("SPARK_GRAFT_SESSION_WARMUP", "1") == "0":
+        return
+    if spark.conf.get("spark.nginx_log_spark.warmed", None) == "1":
+        return
+    try:
+        import tempfile
+
+        from pyspark.sql import Window, functions as F
+
+        df = spark.range(0, 4096, 1, 8).select(
+            (F.col("id") % 97).alias("k"), F.col("id").cast("double").alias("v")
+        )
+        small = spark.range(0, 97).select(F.col("id").alias("k"))
+        w = Window.partitionBy("k").orderBy("v")
+        (
+            df.join(F.broadcast(small), "k")
+            .withColumn("r", F.row_number().over(w))
+            .groupBy("k")
+            .agg(F.sum("v"), F.count(F.lit(1)))
+            .orderBy("k")
+            .limit(5)
+            .collect()
+        )
+        with tempfile.TemporaryDirectory(prefix="nls_warm_") as d:
+            p = f"{d}/warm.parquet"
+            spark.range(0, 2).selectExpr(
+                "id", "cast(id as string) s", "cast(id as decimal(18,2)) d"
+            ).write.mode("overwrite").parquet(p)
+            spark.read.parquet(p).groupBy("s").agg(F.sum("d")).collect()
+    except Exception:  # never let the warm-up break a session
+        pass
+    finally:
+        spark.conf.set("spark.nginx_log_spark.warmed", "1")
