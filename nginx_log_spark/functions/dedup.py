@@ -528,13 +528,13 @@ def split_contamination(
     comparison; the train side is a set, so its size is bounded by corpus
     vocabulary, not corpus length."""
     tg = (
-        with_shingles(train.select(text_col), text_col, k)
+        with_shingles(ensure_parallelism(train.select(text_col)), text_col, k)
         .select(F.explode("_sh").alias("_g"))
         .distinct()
     )
-    vg = with_shingles(val.select(id_col, text_col), text_col, k).select(
-        F.col(id_col), F.explode("_sh").alias("_g")
-    )
+    vg = with_shingles(
+        ensure_parallelism(val.select(id_col, text_col)), text_col, k
+    ).select(F.col(id_col), F.explode("_sh").alias("_g"))
     return (
         vg.join(tg, "_g", "left_semi")
         .groupBy(id_col)

@@ -32,6 +32,39 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# decimal-repr lookup tables for _ints_csv (built once per process)
+_CSV_LUT8: np.ndarray | None = None
+_CSV_LUT16: np.ndarray | None = None
+
+
+def _ints_csv(values) -> bytes:
+    """``b"v0,v1,..."`` decimal render of a sample/pixel vector —
+    byte-identical to ``",".join(str(int(v)) for v in values).encode()``
+    (the module's checksum content format) but vectorized: one C-level
+    fancy-index through a decimal-string LUT plus a single join, instead
+    of a Python str() loop per sample. The source domains are bounded by
+    construction (uint8 rasters, int16 PCM), so the LUTs cover them
+    exactly; anything else falls back to the literal loop."""
+    global _CSV_LUT8, _CSV_LUT16
+    if isinstance(values, (bytes, bytearray, memoryview)):
+        arr = np.frombuffer(values, dtype=np.uint8)
+    else:
+        arr = np.asarray(values)
+    if arr.size == 0:
+        return b""
+    if arr.dtype == np.uint8:
+        if _CSV_LUT8 is None:
+            _CSV_LUT8 = np.array([b"%d" % i for i in range(256)], dtype=object)
+        return b",".join(_CSV_LUT8[arr])
+    if arr.dtype == np.int16:
+        if _CSV_LUT16 is None:
+            _CSV_LUT16 = np.array(
+                [b"%d" % (i - 32768) for i in range(65536)], dtype=object
+            )
+        return b",".join(_CSV_LUT16[arr.astype(np.int64) + 32768])
+    return ",".join(str(int(v)) for v in arr).encode()
+
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.StringType(), False),
@@ -91,9 +124,7 @@ def _decode_wav(payload: bytes) -> dict:
         "width": None,
         "height": None,
         "n_frames": n_frames,
-        "checksum": hashlib.md5(
-            ",".join(str(int(s)) for s in samples).encode()
-        ).hexdigest(),
+        "checksum": hashlib.md5(_ints_csv(samples)).hexdigest(),
     }
 
 
@@ -139,9 +170,7 @@ def _decode_ppm(payload: bytes) -> dict:
         "width": width,
         "height": height,
         "n_frames": None,
-        "checksum": hashlib.md5(
-            ",".join(str(b) for b in raster).encode()
-        ).hexdigest(),
+        "checksum": hashlib.md5(_ints_csv(raster)).hexdigest(),
     }
 
 
@@ -270,9 +299,7 @@ def _decode_png(payload: bytes) -> dict:
         "width": width,
         "height": height,
         "n_frames": None,
-        "checksum": hashlib.md5(
-            ",".join(str(b) for b in pixels).encode()
-        ).hexdigest(),
+        "checksum": hashlib.md5(_ints_csv(pixels)).hexdigest(),
     }
 
 
@@ -291,9 +318,7 @@ def _decode_jpeg(payload: bytes) -> dict:
         "width": width,
         "height": height,
         "n_frames": None,
-        "checksum": hashlib.md5(
-            ",".join(str(b) for b in pixels).encode()
-        ).hexdigest(),
+        "checksum": hashlib.md5(_ints_csv(pixels)).hexdigest(),
     }
 
 
@@ -315,9 +340,7 @@ def _decode_mp4(payload: bytes) -> dict:
         "width": m["width"],
         "height": m["height"],
         "n_frames": m["n_frames"],
-        "checksum": hashlib.md5(
-            ",".join(str(b) for b in joined).encode()
-        ).hexdigest(),
+        "checksum": hashlib.md5(_ints_csv(joined)).hexdigest(),
     }
 
 
@@ -500,9 +523,7 @@ def _resize_ppm(payload: bytes, out_w: int, out_h: int) -> dict:
     resized = raster[ys][:, xs].tobytes()
     return {
         "payload": b"P6\n%d %d\n255\n" % (out_w, out_h) + resized,
-        "checksum": hashlib.md5(
-            ",".join(str(b) for b in resized).encode()
-        ).hexdigest(),
+        "checksum": hashlib.md5(_ints_csv(resized)).hexdigest(),
     }
 
 
@@ -553,9 +574,7 @@ def _resize_png(payload: bytes, out_w: int, out_h: int) -> dict:
     resized = raster[ys][:, xs].tobytes()
     return {
         "payload": _encode_png(resized, out_w, out_h, color),
-        "checksum": hashlib.md5(
-            ",".join(str(b) for b in resized).encode()
-        ).hexdigest(),
+        "checksum": hashlib.md5(_ints_csv(resized)).hexdigest(),
     }
 
 
@@ -579,9 +598,7 @@ def _resize_jpeg(payload: bytes, out_w: int, out_h: int) -> dict:
     resized = raster[ys][:, xs]
     return {
         "payload": encode_jpeg_gray(resized),
-        "checksum": hashlib.md5(
-            ",".join(str(b) for b in resized.tobytes()).encode()
-        ).hexdigest(),
+        "checksum": hashlib.md5(_ints_csv(resized.tobytes())).hexdigest(),
     }
 
 

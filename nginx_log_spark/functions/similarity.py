@@ -419,7 +419,11 @@ def embedding_neardup_pairs(
     2 of the 3 per-pair array traversals for free) — same IEEE ops, same
     order, so the rounded cosine is bit-identical to the inline form.
     """
-    prep = df.select(
+    from nginx_log_spark.functions._parallel import ensure_parallelism
+
+    # fan-out guard: a single-split embedding table would run the whole
+    # pair join (and its per-pair dot-product folds) in one task
+    prep = ensure_parallelism(df).select(
         id_col, vec_col,
         _norm_col(F.col(vec_col).cast("array<double>")).alias("_vnorm"),
     )

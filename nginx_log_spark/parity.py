@@ -136,10 +136,13 @@ def events_with_log_columns(spark, sf_dir: str):
     """
     from pyspark.sql import functions as F
 
+    from nginx_log_spark.functions._parallel import ensure_parallelism
     from nginx_log_spark.parse.parser import encode_lines
 
     e = field_exprs("spark")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # fan-out guard: the fixture parquet is a single split, which would
+    # serialize the whole render -> encode -> parse chain in one task
+    ev = ensure_parallelism(spark.read.parquet(f"{sf_dir}/events.parquet"))
     return (
         ev.withColumn("doc_id", F.expr(e["doc_id"]))
         .withColumn("line", F.expr(e["line"]))
@@ -166,11 +169,13 @@ def events_with_json_log_columns(spark, sf_dir: str):
     object is always corrupt), same token encoding."""
     from pyspark.sql import functions as F
 
+    from nginx_log_spark.functions._parallel import ensure_parallelism
     from nginx_log_spark.parse.json_source import JSON_LOG_FIELDS, json_line_expr
     from nginx_log_spark.parse.parser import encode_lines
 
     e = field_exprs("spark")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # same single-split fan-out guard as events_with_log_columns
+    ev = ensure_parallelism(spark.read.parquet(f"{sf_dir}/events.parquet"))
     cols = {name: F.expr(e[name]).cast(t) for name, t in JSON_LOG_FIELDS}
     good = json_line_expr(cols)
     line = F.when(

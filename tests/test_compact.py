@@ -58,3 +58,24 @@ def test_compact_target_bytes_splits_output(spark, tmp_path):
     assert done["k=a"] == 2
     assert partition_file_stats(base)["k=a"]["files"] == 2
     assert spark.read.parquet(base).count() == 20000
+
+
+def test_ints_csv_matches_literal_join():
+    """_ints_csv must be byte-identical to the checksum content format
+    (','.join(str(int(v)))) on every source domain the decoders feed it:
+    uint8 rasters (bytes and ndarray), int16 PCM extremes, empty input,
+    and the generic fallback dtype."""
+    import numpy as np
+
+    from nginx_log_spark.functions.multimodal import _ints_csv
+
+    ref = lambda vs: ",".join(str(int(v)) for v in vs).encode()  # noqa: E731
+    byte_vec = bytes(range(256)) * 3
+    assert _ints_csv(byte_vec) == ref(byte_vec)
+    assert _ints_csv(np.frombuffer(byte_vec, np.uint8)) == ref(byte_vec)
+    pcm = np.array([-32768, -1, 0, 1, 32767, 12345, -12345], dtype=np.int16)
+    assert _ints_csv(pcm) == ref(pcm)
+    assert _ints_csv(b"") == b""
+    assert _ints_csv(np.array([], dtype=np.int16)) == b""
+    wide = np.array([-70000, 70000, 7], dtype=np.int64)  # fallback path
+    assert _ints_csv(wide) == ref(wide)
