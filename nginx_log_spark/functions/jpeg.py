@@ -301,9 +301,16 @@ def _decode_scan(
     # Every MCU consumes >= 2 bits (a DC Huffman code and an EOB), so a
     # scan with fewer entropy bytes than blocks/4 can only be truncated —
     # reject BEFORE allocating the raster (a dim-corrupted container must
-    # not cost a multi-GB allocation on its way to the reject sink).
-    if bx * by > 8 * max(len(payload) - pos, 0):
+    # not cost a multi-GB allocation on its way to the reject sink). The
+    # raster costs 64 output bytes per block, so the guard is also capped
+    # absolutely: a spec-conforming giant raster past 256 MB belongs to
+    # the external-codec seam, not a stdlib decoder allocation.
+    if bx * by > 4 * max(len(payload) - pos, 0):
         raise ValueError("JPEG entropy stream too short for the SOF dimensions")
+    if bx * by * 64 > 256 * 1024 * 1024:
+        raise ValueError(
+            f"JPEG raster {w}x{h} exceeds the stdlib decoder's 256 MB cap"
+        )
     q = np.array([qtable[k] for k in range(64)], dtype=np.float64)
     out = np.zeros((by * 8, bx * 8), dtype=np.uint8)
     pred = 0

@@ -97,6 +97,11 @@ def parse_mp4(payload: bytes) -> dict:
     # mvhd: movie timescale + duration (version 0: 32-bit, version 1: 64-bit)
     mvhd_b, mvhd_e = _find_one(payload, moov_b, moov_e, b"mvhd")
     ver, p = _fullbox(payload, mvhd_b, mvhd_e)
+    # bound every fixed-field read against the ENCLOSING box end, not the
+    # whole payload — a box truncated short of its fields (but not of the
+    # file) must reject, not silently read the next box's bytes
+    if p + (28 if ver == 1 else 16) > mvhd_e:
+        raise ValueError("truncated mvhd box: fixed fields overflow the box")
     try:
         if ver == 1:
             _, _, timescale, duration = struct.unpack_from(">QQIQ", payload, p)
@@ -114,6 +119,8 @@ def parse_mp4(payload: bytes) -> dict:
     # 2x32 reserved, layer/alt-group/volume/reserved (8), matrix (36),
     # width + height as 16.16 fixed point.
     fixed = p + (32 if ver == 1 else 20) + 8 + 8 + 36
+    if fixed + 8 > tkhd_e:
+        raise ValueError("truncated tkhd box: fixed fields overflow the box")
     try:
         w_fx, h_fx = struct.unpack_from(">II", payload, fixed)
     except struct.error as exc:
@@ -131,6 +138,8 @@ def parse_mp4(payload: bytes) -> dict:
     _, p = _fullbox(payload, stts_b, stts_e)
     try:
         (n_ent,) = struct.unpack_from(">I", payload, p)
+        if p + 4 + 8 * n_ent > stts_e:
+            raise ValueError("truncated stts box: entries overflow the box")
         stts_total = sum(
             struct.unpack_from(">I", payload, p + 4 + 8 * k)[0]
             for k in range(n_ent)
@@ -142,6 +151,8 @@ def parse_mp4(payload: bytes) -> dict:
     stsz_b, stsz_e = _find_one(payload, stbl_b, stbl_e, b"stsz")
     _, p = _fullbox(payload, stsz_b, stsz_e)
     try:
+        if p + 8 > stsz_e:
+            raise ValueError("truncated stsz box: fixed fields overflow the box")
         sample_size, n_samples = struct.unpack_from(">II", payload, p)
         # a corrupt count must not cost a multi-GB list on its way to the
         # reject sink: more samples than container bytes is impossible
@@ -150,6 +161,8 @@ def parse_mp4(payload: bytes) -> dict:
         if sample_size != 0:
             sizes = [sample_size] * n_samples
         else:
+            if p + 8 + 4 * n_samples > stsz_e:
+                raise ValueError("truncated stsz box: entries overflow the box")
             sizes = list(
                 struct.unpack_from(f">{n_samples}I", payload, p + 8)
             ) if n_samples else []
@@ -166,14 +179,23 @@ def parse_mp4(payload: bytes) -> dict:
             stco_b, stco_e = _find_one(payload, stbl_b, stbl_e, b"stco")
             _, p = _fullbox(payload, stco_b, stco_e)
             (n_chunks,) = struct.unpack_from(">I", payload, p)
+            if p + 4 + 4 * n_chunks > stco_e:
+                raise ValueError("truncated stco box: entries overflow the box")
             offsets = struct.unpack_from(f">{n_chunks}I", payload, p + 4)
         except ValueError:
             stco_b, stco_e = _find_one(payload, stbl_b, stbl_e, b"co64")
             _, p = _fullbox(payload, stco_b, stco_e)
             (n_chunks,) = struct.unpack_from(">I", payload, p)
+            if p + 4 + 8 * n_chunks > stco_e:
+                raise ValueError("truncated co64 box: entries overflow the box")
             offsets = struct.unpack_from(f">{n_chunks}Q", payload, p + 4)
     except (struct.error, MemoryError) as exc:
         raise ValueError(f"truncated stco/co64 box: {exc}") from exc
+    if n_chunks == 0:
+        # samples with no chunk offset is a MALFORMED table, not an
+        # unsupported layout — it must route to the reject sink, not the
+        # unsupported one
+        raise ValueError("empty stco: no chunk offsets for a sample table")
     if n_chunks != 1:
         raise NotImplementedError(
             "multi-chunk sample layouts need an external demuxer; "

@@ -281,10 +281,20 @@ def _png_raster(payload: bytes) -> tuple[int, int, int, bytes]:
         )
     if comp != 0 or filt != 0 or interlace != 0:
         raise ValueError("unsupported PNG compression/filter/interlace method")
+    # bounded inflate: the IHDR dimensions fix the exact raw size, so a
+    # crafted container must not be allowed to amplify memory past it
+    # (an unbounded zlib.decompress measured 449 MB peak from a 194 KB
+    # bomb) — same allocation-guard rule as jpeg._decode_scan / mp4.stsz
+    expected = height * (1 + width * _PNG_BPP[color])
+    dec = zlib.decompressobj()
     try:
-        raw = zlib.decompress(bytes(idat))
+        raw = dec.decompress(bytes(idat), expected + 1)
     except zlib.error as exc:
         raise ValueError(f"corrupt IDAT stream: {exc}") from exc
+    if len(raw) > expected or dec.unconsumed_tail:
+        raise ValueError("IDAT inflates past the IHDR raster size")
+    if not dec.eof:
+        raise ValueError("truncated IDAT stream")
     return width, height, color, _png_unfilter(raw, width, height, _PNG_BPP[color])
 
 
@@ -446,7 +456,10 @@ def decode_media_routed(df: DataFrame, fake: bool = False) -> DataFrame:
                         (media_id, media_type, n_bytes, m["width"], m["height"],
                          m["n_frames"], m["checksum"], "ok", None)
                     )
-                except ValueError as e:
+                except (ValueError, MemoryError) as e:
+                    # MemoryError: a decoder allocation guard that was
+                    # still insufficient must reject THIS blob, not kill
+                    # a 10^12-row job (reject-sink contract)
                     rows.append(
                         (media_id, media_type, n_bytes, None, None, None,
                          None, "reject", str(e)[:200])

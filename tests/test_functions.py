@@ -1662,3 +1662,99 @@ def test_source_quota_cap_matches_naive_window(spark):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
     n_per = {r["source"]: r["n"] for r in got.groupBy("source").agg(F.count("*").alias("n")).collect()}
     assert n_per == {"hot": 8, "a": 8, "b": 8, "tiny": 1}
+
+
+def test_png_idat_bomb_rejected_before_allocation():
+    """ADVICE r5: a crafted IDAT must not inflate past the IHDR raster
+    size (memory amplification) — bounded inflate rejects with ValueError
+    (routable), never a giant allocation / MemoryError."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from nginx_log_spark.functions.multimodal import _PNG_SIG, _png_raster
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)  # 4x4 gray
+    bomb = chunk(b"IHDR", ihdr) + chunk(
+        b"IDAT", zlib.compress(bytes(10_000_000))  # ~10 MB of zeros, ~10 KB container
+    ) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="inflates past"):
+        _png_raster(_PNG_SIG + bomb)
+    # truncated stream (valid prefix, never reaches the raster size)
+    good = zlib.compress(bytes(4 * (1 + 4 * 1)))
+    trunc = chunk(b"IHDR", ihdr) + chunk(b"IDAT", good[: len(good) // 2]) + chunk(
+        b"IEND", b""
+    )
+    with pytest.raises(ValueError, match="truncated IDAT"):
+        _png_raster(_PNG_SIG + trunc)
+    # the well-formed container still decodes
+    ok = chunk(b"IHDR", ihdr) + chunk(b"IDAT", good) + chunk(b"IEND", b"")
+    w, h, color, pixels = _png_raster(_PNG_SIG + ok)
+    assert (w, h, color, pixels) == (4, 4, 0, bytes(16))
+
+
+def test_mp4_truncated_box_fields_rejected():
+    """ADVICE r5: fixed-field reads must be bounded by the ENCLOSING box
+    end — a box truncated short of its fields (file continues) rejects
+    instead of silently reading the next box's bytes."""
+    import struct
+
+    import pytest
+
+    from nginx_log_spark.functions.mp4 import encode_mp4, parse_mp4
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    good = encode_mp4([b"aa", b"bb"], 16, 16, 500)
+    parse_mp4(good)  # sanity
+
+    # mvhd whose body ends before its fixed fields, followed by a valid
+    # trak — the old unpack_from(payload, p) read the trak's bytes
+    short_mvhd = box(b"mvhd", b"\x00\x00\x00\x00" + bytes(8))
+    i = good.index(b"mvhd") - 4
+    (mvhd_len,) = struct.unpack_from(">I", good, i)
+    doctored = good[:i] + short_mvhd + good[i + mvhd_len :]
+    # fix moov length (shrunk by the difference)
+    j = doctored.index(b"moov") - 4
+    (moov_len,) = struct.unpack_from(">I", doctored, j)
+    doctored = bytearray(doctored)
+    struct.pack_into(
+        ">I", doctored, j, moov_len - (mvhd_len - len(short_mvhd))
+    )
+    with pytest.raises(ValueError, match="truncated mvhd"):
+        parse_mp4(bytes(doctored))
+
+
+def test_mp4_empty_stco_is_reject_not_unsupported():
+    """ADVICE r5: samples with NO chunk offsets is a malformed table ->
+    ValueError (reject sink), not NotImplementedError (unsupported)."""
+    import struct
+
+    import pytest
+
+    from nginx_log_spark.functions.mp4 import encode_mp4, parse_mp4
+
+    good = encode_mp4([b"aa", b"bb"], 16, 16, 500)
+    # stco body: fullbox(4) + count(4) + one offset(4); rewrite count=0,
+    # drop the offset, shrink stco and every ancestor box by 4
+    out = bytearray(good)
+    sp = out.index(b"stco") - 4
+    (stco_len,) = struct.unpack_from(">I", out, sp)
+    new_stco = struct.pack(">I", stco_len - 4) + b"stco" + b"\x00\x00\x00\x00" + struct.pack(">I", 0)
+    out = out[:sp] + new_stco + out[sp + stco_len :]
+    for anc in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+        k = out.index(anc) - 4
+        (blen,) = struct.unpack_from(">I", out, k)
+        struct.pack_into(">I", out, k, blen - 4)
+    with pytest.raises(ValueError, match="empty stco"):
+        parse_mp4(bytes(out))
