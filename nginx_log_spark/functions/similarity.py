@@ -517,7 +517,9 @@ def hashed_tf(
     instead of materializing dims-wide dense arrays per row.
 
     Scale shape: one explode (volume = text volume) + one map-side-
-    combined groupBy on uniform (id, bucket) keys. No join, no skew.
+    combined groupBy on uniform (id, bucket) keys. No join, no skew;
+    the only other exchange is the tiny-input fan-out guard (a no-op on
+    multi-split inputs).
     """
     from nginx_log_spark.functions._parallel import ensure_parallelism
 

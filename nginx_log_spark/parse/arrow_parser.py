@@ -292,9 +292,14 @@ def parse_sequences_arrow(
     only needs (say) ``valid`` would otherwise pay Arrow IPC for all nine
     parsed utf8 columns PLUS the ~700 B/row token arrays echoed back to
     the JVM — measured 3-4x the parse kernel's own cost at 8M rows.
-    ``fields`` selects which parsed columns to emit (parse still runs in
-    full), ``keep_cols`` which input columns to echo; None = all (the
-    default, schema-compatible with round-1 callers).
+    ``fields`` selects which parsed columns to emit AND is pushed into
+    the kernel itself (round 6): validity is always decided by the full
+    two-tier rule, but the strict tier only captures the requested
+    submatches — valid-only consumers run the boolean match kernel
+    (6.6x cheaper), partial field sets demote unrequested groups to
+    non-capturing (2.6x). ``keep_cols`` selects which input columns to
+    echo; None = all (the default, schema-compatible with round-1
+    callers).
     """
     out_fields = _out_arrow_fields(extended)
     if fields is not None:

@@ -56,6 +56,14 @@ def get_spark(
         .config("spark.ui.retainedStages", "100")
         .config("spark.cleaner.periodicGC.interval", "30s")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # v2 output committer: task-side renames instead of a sequential
+        # driver-side rename of every file at job commit — a partitioned
+        # fan-out write produces hundreds of sink files, and v1 serialized
+        # their commit on the driver (guide: commit protocol shows up as
+        # driver-side dead time at the end of a write). Local/HDFS-class
+        # filesystems only; an object-store deployment would use a
+        # manifest committer instead.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
