@@ -115,6 +115,13 @@ def _warm_session(spark: SparkSession) -> None:
                 "id", "cast(id as string) s", "cast(id as decimal(18,2)) d"
             ).write.mode("overwrite").parquet(p)
             spark.read.parquet(p).groupBy("s").agg(F.sum("d")).collect()
+
+        # fork the python worker pool (mapInArrow/pandas paths would
+        # otherwise pay it on their first timed use)
+        def _identity(batches):
+            yield from batches
+
+        spark.range(0, 64, 1, 4).mapInArrow(_identity, "id long").count()
     except Exception:  # never let the warm-up break a session
         pass
     finally:

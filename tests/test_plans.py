@@ -247,17 +247,38 @@ def test_prefix_jaccard_is_equi_join_on_prefix(spark, docs):
 
 
 def test_prefix_jaccard_freq_head_joins_broadcast(spark, docs):
-    """Stop-shingle skew hardening: with freq_head_bcast on (default), the
-    Zipf-head frequency annotation must be BROADCAST joins (hot inner +
-    the two anti-join exclusions) so the skewed shingle key never routes
-    its row mass through one shuffle partition; only the bounded-df tail
-    takes a shuffle join."""
+    """Stop-shingle skew hardening of the RELATIONAL (large-vocabulary)
+    path: with freq_head_bcast on and the in-row rank fast path disabled
+    (rank_bcast_max=0), the Zipf-head frequency annotation must be
+    BROADCAST joins (hot inner + the two anti-join exclusions) so the
+    skewed shingle key never routes its row mass through one shuffle
+    partition; only the bounded-df tail takes a shuffle join."""
     from nginx_log_spark.functions import prefix_jaccard_pairs
 
     p = plan(prefix_jaccard_pairs(docs, shingle_k=5, threshold=0.7,
-                                  freq_head_bcast=64))
+                                  freq_head_bcast=64, rank_bcast_max=0))
     # head annotate + ex anti + freq anti, all hinted broadcast
     assert p.count("BroadcastHashJoin") >= 3, p
+
+
+def test_prefix_jaccard_rank_bcast_path_no_window(spark, docs):
+    """The round-6 broadcast-vocabulary fast path (default when the
+    vocabulary fits) must compute prefixes in-row: no rank Window and no
+    shuffle of the exploded shingle stream before the candidate join —
+    the skewed shingle key appears only in the prefix equi-join, which
+    holds each doc's RAREST shingles by construction."""
+    from nginx_log_spark.functions import prefix_jaccard_pairs
+
+    out = prefix_jaccard_pairs(docs, shingle_k=5, threshold=0.7)
+    p = plan(out)
+    assert "Window" not in p, p
+    assert "MapInArrow" in p, p
+    assert "CartesianProduct" not in p
+    # result identity with the relational path (exactness under any
+    # global prefix order + exact verify)
+    rel = prefix_jaccard_pairs(docs, shingle_k=5, threshold=0.7,
+                               rank_bcast_max=0)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, rel.collect()))
 
 
 def test_asof_join_single_window_no_range_join(spark, sf_dir):
