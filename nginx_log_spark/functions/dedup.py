@@ -793,7 +793,17 @@ def prefix_jaccard_pairs(
         if rank_bcast_max and freq.count() <= rank_bcast_max:
             # vocabulary fits a broadcast: rank in-row, skip the
             # annotate joins AND the window entirely (see helper)
-            prefix = _rank_bcast_prefix(spark, sh, freq, id_col, threshold)
+            # materialize the prefix ONCE: it feeds both self-join sides,
+            # and unlike the relational path (whose window exchange is
+            # already reused — measured no-gain, see docstring) the
+            # mapInArrow pass would otherwise pay the Python boundary
+            # twice. |prefix| <= ~(1-t)+eps of the shingle rows, and the
+            # blocks follow the same MEMORY_AND_DISK / ContextCleaner
+            # lifecycle as the sh checkpoint above. Measured 4.1 -> 3.5 s
+            # median on the dense sf0.1 fixture.
+            prefix = _rank_bcast_prefix(
+                spark, sh, freq, id_col, threshold
+            ).localCheckpoint(eager=True)
     if prefix is None:
         if freq_head_bcast:
             # driver-bounded by construction: <= freq_head_bcast
