@@ -1275,6 +1275,69 @@ def test_prefix_jaccard_equals_exhaustive(spark):
         assert want, f"threshold={t}: vacuous fixture"
 
 
+def test_prefix_jaccard_mask_verify_parity(spark):
+    """Round-6 bitset verify (mask_verify_max): with the vocabulary under
+    the gate, |A∩B| comes from popcount(maskA AND maskB) over bit
+    positions ASSIGNED by the sorted vocabulary — a bijection, no
+    hashing, so no collision caveat at all. The result (pairs AND the
+    rounded jaccard values) must be identical to the array-intersect
+    verify (mask_verify_max=0 forces it), including on a fixture whose
+    vocabulary spans a non-multiple-of-64 bit count and docs that share
+    everything / nothing, and at a threshold whose t*|d| product rounds
+    up across an integer (the filter-boundary hazard pinned by
+    test_prefix_jaccard_filter_boundaries)."""
+    import random
+
+    from nginx_log_spark.functions import prefix_jaccard_pairs
+
+    rng = random.Random(7)
+    words = [f"w{i:02d}" for i in range(40)]
+    rows = []
+    for i in range(50):
+        pick = [words[rng.randrange(len(words))] for _ in range(rng.randrange(5, 15))]
+        rows.append((i, " ".join(pick)))
+    for i in range(50, 62):  # identical twins (J = 1)
+        rows.append((i, rows[i - 50][1]))
+    for i in range(62, 74):  # near-clones: one word appended
+        rows.append((i, rows[i - 62][1] + " zz"))
+    rows.append((99, "0123456789"))  # disjoint from everything
+    # the t=0.56 exact-boundary pair of the filter-boundaries test
+    rows.append((200, "abcdefghijklmnopqrstuvwxyz012"))
+    rows.append((201, "abcdefghijklmnopqrstuvwxyz012"[:18]))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.56, 0.7):
+        with_masks = {(r.id_a, r.id_b): r.jaccard
+                      for r in prefix_jaccard_pairs(
+                          df, shingle_k=5, threshold=t
+                      ).collect()}
+        array_path = {(r.id_a, r.id_b): r.jaccard
+                      for r in prefix_jaccard_pairs(
+                          df, shingle_k=5, threshold=t, mask_verify_max=0
+                      ).collect()}
+        assert with_masks == array_path, f"threshold={t}"
+        assert with_masks, f"threshold={t}: vacuous fixture"
+        if t == 0.56:  # the exact-boundary pair must survive both paths
+            assert (200, 201) in with_masks, with_masks
+    # plan shape: the default (gated-in) path verifies via bit_count and
+    # never ships the shingle arrays; forcing the gate off restores the
+    # array intersect
+    import contextlib
+    import io
+
+    def _plan(q):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            q.explain("formatted")
+        return buf.getvalue()
+
+    p_mask = _plan(prefix_jaccard_pairs(df, shingle_k=5, threshold=0.7))
+    p_arr = _plan(
+        prefix_jaccard_pairs(df, shingle_k=5, threshold=0.7, mask_verify_max=0)
+    )
+    assert "bit_count" in p_mask and "array_intersect" not in p_mask
+    assert "array_intersect" in p_arr
+
+
 def test_prefix_jaccard_filter_boundaries(spark):
     """The PPJoin length/positional filters must never false-prune a pair
     sitting EXACTLY at the threshold. An all-distinct-substring alphabet
